@@ -1,0 +1,21 @@
+"""TPU-native ocean-dynamics framework (capabilities of Oceananigans.jl).
+
+Finite-volume incompressible (nonhydrostatic + hydrostatic Boussinesq) and
+shallow-water solvers on staggered Arakawa-C grids, built JAX/XLA/Pallas-
+first: immutable pytree state, jitted whole-step functions, sharding via
+``jax.sharding.Mesh`` + ``shard_map`` collectives over ICI/DCN.
+"""
+
+from .grids.topology import PERIODIC, BOUNDED, FLAT, FULLY_CONNECTED, Topology
+from .grids.rectilinear import RectilinearGrid
+from .utils.location import C, F, CENTER, U_LOC, V_LOC, W_LOC
+from .boundary_conditions.bcs import (
+    BC, FieldBCs, Periodic, ValueBC, GradientBC, FluxBC, OpenBC,
+    fill_halos, apply_flux_bcs, regularize_bcs, default_bcs,
+)
+from .fields.field import (
+    Field, CenterField, XFaceField, YFaceField, ZFaceField,
+    VelocityFields, TracerFields, set_field, integral, average, field_norm,
+)
+
+__version__ = "0.1.0"

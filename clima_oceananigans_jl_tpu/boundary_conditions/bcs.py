@@ -1,0 +1,272 @@
+"""Boundary conditions and halo filling.
+
+TPU re-design of /root/reference/src/BoundaryConditions/:
+
+* BC classifications Flux / Value (Dirichlet) / Gradient (Neumann) /
+  Open / Periodic / Communication
+  (boundary_condition_classifications.jl:1-68) become a small pytree
+  ``BC(kind, value)`` whose ``kind`` is static and whose ``value`` may be
+  a scalar, a boundary-plane array, or a callable evaluated on boundary
+  nodes — so user conditions trace into the jitted step.
+* ``fill_halos`` replaces ``fill_halo_regions!``
+  (fill_halo_regions.jl:34-95): one functional pass of ``.at[]`` updates
+  with static slices; periodic sides are wrap copies, bounded sides use
+  mirror ghost-cell formulas exact on stretched grids (distances taken
+  from the coordinate arrays).
+* Flux BCs contribute to tendencies via ``apply_flux_bcs`` (sign
+  convention of apply_flux_bcs.jl:95-160: positive left-boundary flux
+  increases G in the adjacent cell, positive right-boundary flux
+  decreases it).
+* ``FULLY_CONNECTED`` axes (device-sharded sides) are skipped here; the
+  distributed halo exchange (parallel/halo_exchange.py) fills them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..grids.topology import BOUNDED, FLAT, FULLY_CONNECTED, PERIODIC
+from ..utils.location import C, F
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BC:
+    """One side's boundary condition. `kind` is static; `value` traces."""
+
+    kind: str  # periodic | value | gradient | flux | open | communication
+    value: Any = None
+
+    def tree_flatten(self):
+        if callable(self.value):
+            return (), (self.kind, self.value)
+        return (self.value,), (self.kind, None)
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        kind, fn = static
+        return cls(kind, fn if fn is not None else leaves[0])
+
+
+def Periodic():
+    return BC("periodic")
+
+
+def ValueBC(v):
+    return BC("value", v)
+
+
+def GradientBC(g):
+    return BC("gradient", g)
+
+
+def FluxBC(q=None):
+    return BC("flux", q)
+
+
+def OpenBC(v=0.0):
+    return BC("open", v)
+
+
+def CommunicationBC():
+    return BC("communication")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FieldBCs:
+    """Per-side BCs for one field: (west, east, south, north, bottom, top)."""
+
+    west: Optional[BC] = None
+    east: Optional[BC] = None
+    south: Optional[BC] = None
+    north: Optional[BC] = None
+    bottom: Optional[BC] = None
+    top: Optional[BC] = None
+    immersed: Any = None  # used by ImmersedBoundaryCondition
+
+    def sides(self):
+        return ((0, 0, self.west), (0, 1, self.east),
+                (1, 0, self.south), (1, 1, self.north),
+                (2, 0, self.bottom), (2, 1, self.top))
+
+    def tree_flatten(self):
+        return ((self.west, self.east, self.south, self.north,
+                 self.bottom, self.top, self.immersed), ())
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*leaves)
+
+
+def default_bcs(grid, loc):
+    """Defaults mirroring the reference's regularization: periodic on
+    periodic axes; zero-flux for fields centered on a bounded axis;
+    impenetrable (open, 0) for the wall-normal face-located component."""
+    sides = {}
+    names = (("west", "east"), ("south", "north"), ("bottom", "top"))
+    for axis in range(3):
+        topo = grid.topology[axis]
+        for s in range(2):
+            if topo is FLAT:
+                bc = None
+            elif topo is PERIODIC:
+                bc = Periodic()
+            elif topo is FULLY_CONNECTED:
+                bc = CommunicationBC()
+            elif loc[axis] is F:
+                bc = OpenBC(0.0)
+            else:
+                bc = FluxBC()
+            sides[names[axis][s]] = bc
+    return FieldBCs(**sides)
+
+
+def regularize_bcs(grid, loc, bcs=None):
+    """Merge user BCs over the defaults (reference field_boundary_conditions.jl)."""
+    out = default_bcs(grid, loc)
+    if bcs is None:
+        return out
+    for name in ("west", "east", "south", "north", "bottom", "top", "immersed"):
+        user = getattr(bcs, name, None)
+        if user is not None:
+            setattr(out, name, user)
+    return out
+
+
+def _bvalue(bc, grid, axis, side, loc, t):
+    """Evaluate a BC's value on the boundary plane → broadcastable array/scalar."""
+    v = bc.value
+    if v is None:
+        return jnp.zeros((), grid.dtype)
+    if callable(v):
+        nodes = list(grid.nodes(loc, with_halo=True))
+        a = grid._axes[axis]
+        # boundary position: left face (index h) or right face (index h+n, h ≥ 1)
+        nodes[axis] = a.cf[a.h] if side == 0 else a.cf[a.h + a.n]
+        coords = [nodes[i] for i in range(3) if i != axis]
+        return v(*coords, t)
+    v = jnp.asarray(v, grid.dtype)
+    if v.ndim == 2:  # boundary-plane array on interior points → pad to halo shape
+        full = list(grid.total_shape)
+        plane_axes = [i for i in range(3) if i != axis]
+        pads = []
+        for i, ax in enumerate(plane_axes):
+            h = grid.halo[ax]
+            pads.append((h, full[ax] - h - v.shape[i]))
+        v = jnp.pad(v, pads)
+        shape = [1, 1, 1]
+        for i, ax in enumerate(plane_axes):
+            shape[ax] = full[ax]
+        return v.reshape(shape)
+    return v
+
+
+def _axslice(data, axis, idx):
+    sl = [slice(None)] * 3
+    sl[axis] = idx
+    return tuple(sl)
+
+
+def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
+    topo = grid.topology[axis]
+    if topo is FLAT:
+        return data
+    N = grid.shape[axis]
+    H = grid.halo[axis]
+    S = lambda idx: _axslice(data, axis, idx)
+
+    if topo in (PERIODIC,):
+        data = data.at[S(slice(0, H))].set(data[S(slice(N, N + H))])
+        data = data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
+        return data
+    if topo is FULLY_CONNECTED:
+        return data  # filled by the distributed neighbor exchange
+
+    ax = grid._axes[axis]
+    face_loc = loc[axis] is F
+
+    for side, bc in ((0, bc_left), (1, bc_right)):
+        if bc is None or bc.kind in ("communication",):
+            continue
+        b = _bvalue(bc, grid, axis, side, loc, t)
+        kind = bc.kind
+        if not face_loc:
+            # center-located along this axis: ghost layers mirror interior layers
+            for k in range(1, H + 1):
+                if side == 0:
+                    g, i = H - k, H + k - 1
+                else:
+                    g, i = H + N - 1 + k, H + N - k
+                fi = data[S(i)]
+                if kind == "value":
+                    ghost = 2.0 * b - fi
+                elif kind == "gradient":
+                    dist = ax.cc[i] - ax.cc[g]
+                    ghost = fi - b * dist if side == 0 else fi + b * (ax.cc[g] - ax.cc[i])
+                else:  # flux / default: zero-gradient into the halo
+                    ghost = fi
+                data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
+        else:
+            # face-located along this axis: boundary face at H (left) / H+N (right)
+            bidx = H if side == 0 else H + N
+            # ghost faces: k = 1..H on the left, 1..H-1 on the right
+            rng = range(1, H + 1) if side == 0 else range(1, H)
+            if kind in ("open", "value"):
+                data = data.at[S(bidx)].set(
+                    jnp.broadcast_to(b, data[S(bidx)].shape))
+                for k in rng:
+                    g = bidx - k if side == 0 else bidx + k
+                    i = bidx + k if side == 0 else bidx - k
+                    ghost = 2.0 * b - data[S(i)]
+                    data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
+            else:  # zero-gradient mirror about the boundary face
+                for k in rng:
+                    g = bidx - k if side == 0 else bidx + k
+                    i = bidx + k if side == 0 else bidx - k
+                    data = data.at[S(g)].set(data[S(i)])
+    return data
+
+
+def fill_halos(data, grid, loc, bcs=None, t=0.0):
+    """Fill all halo regions of `data`. Periodic axes first (reference
+    fill_halo_regions.jl:57-95 ordering) so corner halos end up consistent."""
+    if bcs is None:
+        bcs = default_bcs(grid, loc)
+    order = sorted(range(3), key=lambda a: grid.topology[a] is not PERIODIC)
+    pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north), (bcs.bottom, bcs.top))
+    for axis in order:
+        data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t)
+    return data
+
+
+def apply_flux_bcs(G, grid, loc, bcs, t=0.0):
+    """Add boundary-flux divergences into the tendency G (interior-sized
+    contribution at the first/last interior cell of each bounded axis)."""
+    if bcs is None:
+        return G
+    areas = (grid.Ax, grid.Ay, grid.Az)
+    from ..ops.operators import flip_loc
+    for axis, side, bc in bcs.sides():
+        if bc is None or bc.kind != "flux" or bc.value is None:
+            continue
+        if grid.topology[axis] is not BOUNDED:
+            continue
+        N, H = grid.shape[axis], grid.halo[axis]
+        i = H if side == 0 else H + N - 1
+        q = _bvalue(bc, grid, axis, side, loc, t)
+        A = areas[axis](flip_loc(loc, axis))
+        Vol = grid.V(loc)
+        # pick the boundary-face metric / cell volume at the boundary cell
+        bf = H if side == 0 else H + N
+        Ab = A[_axslice(A, axis, min(bf, A.shape[axis] - 1))] if A.shape[axis] > 1 else A[_axslice(A, axis, 0)]
+        Vb = Vol[_axslice(Vol, axis, i)] if Vol.shape[axis] > 1 else Vol[_axslice(Vol, axis, 0)]
+        if hasattr(q, "ndim") and q.ndim == 3:
+            q = q[_axslice(q, axis, 0)]
+        contrib = q * Ab / Vb
+        sgn = 1.0 if side == 0 else -1.0
+        G = G.at[_axslice(G, axis, i)].add(sgn * contrib)
+    return G

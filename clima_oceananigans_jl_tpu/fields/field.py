@@ -1,0 +1,131 @@
+"""Fields: located arrays with halos and boundary conditions.
+
+TPU re-design of /root/reference/src/Fields/field.jl:16-30. A ``Field``
+is a small pytree of ``(data, bcs)`` with static location ``loc``; the
+grid is NOT stored in the field (models hold one grid; functions take it
+explicitly) so jitted signatures stay small. ``data`` always includes
+halos (shape ``grid.total_shape``).
+
+``set`` mirrors the reference's ``set!`` (src/Fields/set!.jl): accepts a
+scalar, an interior-shaped array, a with-halo array, or a callable
+``f(x, y, z)`` evaluated on the field's nodes; halos are filled after.
+Reductions are metric-weighted (src/Fields/field_reductions.jl).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary_conditions.bcs import FieldBCs, fill_halos, regularize_bcs
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Field:
+    data: jnp.ndarray
+    loc: tuple = CENTER
+    bcs: Optional[FieldBCs] = None
+
+    def tree_flatten(self):
+        return (self.data, self.bcs), (self.loc,)
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(leaves[0], static[0], leaves[1])
+
+    def interior(self, grid):
+        return grid.interior(self.data)
+
+    def with_data(self, data):
+        return Field(data, self.loc, self.bcs)
+
+    def filled(self, grid, t=0.0):
+        return self.with_data(fill_halos(self.data, grid, self.loc, self.bcs, t))
+
+
+def new_field(grid, loc=CENTER, bcs=None, fill=0.0):
+    bcs = regularize_bcs(grid, loc, bcs)
+    return Field(jnp.full(grid.total_shape, fill, grid.dtype), loc, bcs)
+
+
+def CenterField(grid, bcs=None):
+    return new_field(grid, CENTER, bcs)
+
+
+def XFaceField(grid, bcs=None):
+    return new_field(grid, U_LOC, bcs)
+
+
+def YFaceField(grid, bcs=None):
+    return new_field(grid, V_LOC, bcs)
+
+
+def ZFaceField(grid, bcs=None):
+    return new_field(grid, W_LOC, bcs)
+
+
+def set_field(field: Field, grid, value, t=0.0) -> Field:
+    """Functional ``set!``: returns a new Field with halos filled."""
+    data = field.data
+    if callable(value):
+        x, y, z = grid.nodes(field.loc, with_halo=True)
+        data = jnp.broadcast_to(
+            jnp.asarray(value(x, y, z), grid.dtype), data.shape).astype(grid.dtype)
+    elif np.isscalar(value) or (hasattr(value, "ndim") and value.ndim == 0):
+        data = jnp.full_like(data, value)
+    else:
+        value = jnp.asarray(value, grid.dtype)
+        if value.shape == data.shape:
+            data = value
+        elif value.shape == grid.shape:
+            sl = tuple(slice(h, h + n) for h, n in zip(grid.halo, grid.shape))
+            data = data.at[sl].set(value)
+        else:
+            data = jnp.broadcast_to(value, data.shape).astype(grid.dtype)
+    out = field.with_data(data)
+    return out.filled(grid, t)
+
+
+# -- metric-weighted reductions ----------------------------------------------
+def integral(field: Field, grid, dims=(0, 1, 2)):
+    """∫ f dV over interior (volume-weighted along the reduced dims)."""
+    w = jnp.ones((), grid.dtype)
+    metrics = (grid.dx, grid.dy, grid.dz)
+    for d in dims:
+        w = w * metrics[d](field.loc)
+    integrand = field.data * w
+    return jnp.sum(grid.interior(integrand), axis=tuple(dims))
+
+
+def average(field: Field, grid, dims=(0, 1, 2)):
+    w = jnp.ones((), grid.dtype)
+    metrics = (grid.dx, grid.dy, grid.dz)
+    for d in dims:
+        w = w * metrics[d](field.loc)
+    w = jnp.broadcast_to(w, field.data.shape)
+    num = jnp.sum(grid.interior(field.data * w), axis=tuple(dims))
+    den = jnp.sum(grid.interior(w), axis=tuple(dims))
+    return num / den
+
+
+def field_norm(field: Field, grid):
+    v = grid.interior(field.data)
+    return jnp.sqrt(jnp.mean(v * v))
+
+
+# -- field tuples (reference src/Fields/field_tuples.jl) ----------------------
+def VelocityFields(grid, bcs=None):
+    bcs = bcs or {}
+    return dict(u=XFaceField(grid, bcs.get("u")),
+                v=YFaceField(grid, bcs.get("v")),
+                w=ZFaceField(grid, bcs.get("w")))
+
+
+def TracerFields(grid, names, bcs=None):
+    bcs = bcs or {}
+    return {name: CenterField(grid, bcs.get(name)) for name in names}
