@@ -193,6 +193,8 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
         if bc is None or bc.kind in ("communication",):
             continue
         b = _bvalue(bc, grid, axis, side, loc, t)
+        if hasattr(b, "ndim") and b.ndim == 3:
+            b = jnp.squeeze(b, axis)  # boundary-plane shape matches int-indexed slices
         kind = bc.kind
         if not face_loc:
             # center-located along this axis: ghost layers mirror interior layers
