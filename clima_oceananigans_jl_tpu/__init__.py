@@ -18,4 +18,20 @@ from .fields.field import (
     VelocityFields, TracerFields, set_field, integral, average, field_norm,
 )
 
+from .advection.schemes import (
+    CenteredSecondOrder, CenteredFourthOrder, UpwindBiasedFirstOrder,
+    UpwindBiasedThirdOrder, UpwindBiasedFifthOrder, WENO5,
+)
+from .coriolis.coriolis import (
+    FPlane, BetaPlane, ConstantCartesianCoriolis, NonTraditionalBetaPlane,
+)
+from .closures.scalar_diffusivity import ScalarDiffusivity, ScalarBiharmonicDiffusivity
+from .timesteppers.steppers import Clock
+from .models.shallow_water import ShallowWaterModel
+from .simulation.simulation import Simulation, Callback, NaNChecker, TimeStepWizard
+from .utils.schedules import (
+    TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
+    AndSchedule, OrSchedule,
+)
+
 __version__ = "0.1.0"

@@ -1,0 +1,185 @@
+"""Advection schemes: reconstruction operators.
+
+Array re-design of /root/reference/src/Advection/: each scheme provides
+symmetric and left/right-biased reconstructions of a field onto the
+staggered flux location along an axis, as whole-array shift expressions
+(XLA fuses each flux evaluation into one stencil pass).
+
+Schemes (reference files):
+* CenteredSecondOrder   (centered_second_order.jl)
+* CenteredFourthOrder   (centered_fourth_order.jl)
+* UpwindBiasedFirstOrder (upwind_biased_first_order.jl)
+* UpwindBiasedThirdOrder (upwind_biased_third_order.jl)
+* UpwindBiasedFifthOrder (upwind_biased_fifth_order.jl)
+* WENO5                  (weno_fifth_order.jl; uniform-grid JS weights)
+
+Conventions: reconstructions "to F" produce a value at face i from
+cell-centered data (face i sits between cells i-1 and i); "to C" produce
+a value at center i from face data (center i sits between faces i and
+i+1, so to-C formulas are the to-F formulas shifted by +1, exactly like
+the reference's ``left_biased_interpolate_xᶜᵃᵃ(i+1, ...)`` pattern).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops.stencil import shift, ic, if_, i4c, i4f
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionScheme:
+    """Base: symmetric = 2nd-order centered."""
+
+    #: extra halo cells needed beyond 1 (reference `boundary_buffer`)
+    buffer: int = 0
+    is_upwind: bool = False
+
+    def sym_to_f(self, c, axis):
+        return if_(c, axis)
+
+    def sym_to_c(self, u, axis):
+        return ic(u, axis)
+
+    def left_to_f(self, c, axis):
+        raise NotImplementedError
+
+    def right_to_f(self, c, axis):
+        raise NotImplementedError
+
+    def left_to_c(self, u, axis):
+        return shift(self.left_to_f(u, axis), 1, axis)
+
+    def right_to_c(self, u, axis):
+        return shift(self.right_to_f(u, axis), 1, axis)
+
+    @property
+    def required_halo(self):
+        return max(1, self.buffer + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CenteredSecondOrder(AdvectionScheme):
+    buffer: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class CenteredFourthOrder(AdvectionScheme):
+    buffer: int = 1
+
+    def sym_to_f(self, c, axis):
+        return i4f(c, axis)
+
+    def sym_to_c(self, u, axis):
+        return i4c(u, axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class UpwindBiasedFirstOrder(AdvectionScheme):
+    buffer: int = 0
+    is_upwind: bool = True
+
+    def left_to_f(self, c, axis):
+        return shift(c, -1, axis)
+
+    def right_to_f(self, c, axis):
+        return c
+
+
+@dataclasses.dataclass(frozen=True)
+class UpwindBiasedThirdOrder(AdvectionScheme):
+    buffer: int = 1
+    is_upwind: bool = True
+
+    def left_to_f(self, c, axis):
+        s = lambda n: shift(c, n, axis)
+        return (2.0 * c + 5.0 * s(-1) - s(-2)) / 6.0
+
+    def right_to_f(self, c, axis):
+        s = lambda n: shift(c, n, axis)
+        return (-s(1) + 5.0 * c + 2.0 * s(-1)) / 6.0
+
+
+@dataclasses.dataclass(frozen=True)
+class UpwindBiasedFifthOrder(AdvectionScheme):
+    buffer: int = 2
+    is_upwind: bool = True
+
+    def left_to_f(self, c, axis):
+        s = lambda n: shift(c, n, axis)
+        return (2.0 * s(-3) - 13.0 * s(-2) + 47.0 * s(-1) + 27.0 * c - 3.0 * s(1)) / 60.0
+
+    def right_to_f(self, c, axis):
+        s = lambda n: shift(c, n, axis)
+        return (2.0 * s(2) - 13.0 * s(1) + 47.0 * c + 27.0 * s(-1) - 3.0 * s(-2)) / 60.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WENO5(AdvectionScheme):
+    """5th-order WENO (Jiang & Shu smoothness weights), uniform-grid
+    coefficients (reference weno_fifth_order.jl; stretched-grid ENO
+    tables are a planned extension)."""
+
+    buffer: int = 2
+    is_upwind: bool = True
+    eps: float = 1e-6
+
+    def _weno_left(self, v, axis):
+        s = lambda n: shift(v, n, axis)
+        vm3, vm2, vm1, v0, vp1 = s(-3), s(-2), s(-1), v, s(1)
+        p0 = (2.0 * vm3 - 7.0 * vm2 + 11.0 * vm1) / 6.0
+        p1 = (-vm2 + 5.0 * vm1 + 2.0 * v0) / 6.0
+        p2 = (2.0 * vm1 + 5.0 * v0 - vp1) / 6.0
+        b0 = (13.0 / 12.0) * (vm3 - 2 * vm2 + vm1) ** 2 + 0.25 * (vm3 - 4 * vm2 + 3 * vm1) ** 2
+        b1 = (13.0 / 12.0) * (vm2 - 2 * vm1 + v0) ** 2 + 0.25 * (vm2 - v0) ** 2
+        b2 = (13.0 / 12.0) * (vm1 - 2 * v0 + vp1) ** 2 + 0.25 * (3 * vm1 - 4 * v0 + vp1) ** 2
+        return self._combine(p0, p1, p2, b0, b1, b2)
+
+    def _weno_right(self, v, axis):
+        s = lambda n: shift(v, n, axis)
+        vp2, vp1, v0, vm1, vm2 = s(2), s(1), v, s(-1), s(-2)
+        p0 = (2.0 * vp2 - 7.0 * vp1 + 11.0 * v0) / 6.0
+        p1 = (-vp1 + 5.0 * v0 + 2.0 * vm1) / 6.0
+        p2 = (2.0 * v0 + 5.0 * vm1 - vm2) / 6.0
+        b0 = (13.0 / 12.0) * (vp2 - 2 * vp1 + v0) ** 2 + 0.25 * (vp2 - 4 * vp1 + 3 * v0) ** 2
+        b1 = (13.0 / 12.0) * (vp1 - 2 * v0 + vm1) ** 2 + 0.25 * (vp1 - vm1) ** 2
+        b2 = (13.0 / 12.0) * (v0 - 2 * vm1 + vm2) ** 2 + 0.25 * (3 * v0 - 4 * vm1 + vm2) ** 2
+        return self._combine(p0, p1, p2, b0, b1, b2)
+
+    def _combine(self, p0, p1, p2, b0, b1, b2):
+        eps = self.eps
+        a0 = 0.1 / (b0 + eps) ** 2
+        a1 = 0.6 / (b1 + eps) ** 2
+        a2 = 0.3 / (b2 + eps) ** 2
+        inv = 1.0 / (a0 + a1 + a2)
+        return (a0 * p0 + a1 * p1 + a2 * p2) * inv
+
+    def left_to_f(self, c, axis):
+        return self._weno_left(c, axis)
+
+    def right_to_f(self, c, axis):
+        return self._weno_right(c, axis)
+
+
+def upwind_biased_product(vel, left, right):
+    """vel·ψ upwind product ((ũ+|ũ|)ψᴸ + (ũ−|ũ|)ψᴿ)/2
+    (reference upwind_biased_advective_fluxes.jl:10). Includes the velocity
+    factor, so the result is already the advective transport vel*ψ."""
+    return 0.5 * ((vel + jnp.abs(vel)) * left + (vel - jnp.abs(vel)) * right)
+
+
+def transport(scheme, vel, c, axis, to_f):
+    """Advective transport vel·ψ at the flux location along `axis`.
+
+    `to_f=True`: flux face-located along axis (c centered there); else the
+    reverse (c face-located, flux at centers). `vel` must already live at
+    the flux location.
+    """
+    if not scheme.is_upwind:
+        return vel * (scheme.sym_to_f(c, axis) if to_f else scheme.sym_to_c(c, axis))
+    if to_f:
+        return upwind_biased_product(
+            vel, scheme.left_to_f(c, axis), scheme.right_to_f(c, axis))
+    return upwind_biased_product(
+        vel, scheme.left_to_c(c, axis), scheme.right_to_c(c, axis))

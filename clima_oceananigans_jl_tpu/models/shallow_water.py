@@ -1,0 +1,227 @@
+"""Shallow-water model (conservative uh, vh, h formulation).
+
+TPU re-design of /root/reference/src/Models/ShallowWaterModels/
+(shallow_water_model.jl:37-57, solution_and_tracer_tendencies.jl,
+shallow_water_advection_operators.jl, rk3_substep_shallow_water_model.jl):
+state is an immutable pytree, the full RK3 step is one jitted pure
+function; no elliptic solve (pure hyperbolic + sources) which makes this
+the minimum end-to-end slice of the framework.
+
+Equations (conservative form):
+  ∂t(uh) = −∇·(uh v) − g ∂x(h²/2) − f×(uh) + g h ∂x(hB) + Fuh + ν∇²(uh)
+  ∂t(vh) = (y analog)
+  ∂t(h)  = −∇·(uh, vh)
+  ∂t(c)  = −∇·(U c) + c ∇·U + Fc + κ∇²c
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..advection.schemes import AdvectionScheme, WENO5, transport
+from ..boundary_conditions.bcs import apply_flux_bcs, fill_halos, regularize_bcs
+from ..closures.scalar_diffusivity import momentum_diffusion, tracer_diffusion
+from ..fields.field import Field
+from ..grids.topology import FLAT
+from ..ops import stencil as st
+from ..timesteppers.steppers import Clock, RK3_GAMMA, RK3_ZETA, rk3_substep
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC
+
+
+def _ixyff(h):
+    """ℑxyᶠᶠ: 4-point average of a centered field onto (F,F,·)."""
+    return st.ixf(st.iyf(h))
+
+
+@jax.tree_util.register_pytree_node_class
+class ShallowWaterModel:
+    """Config container; all methods are pure functions of (state, Δt)."""
+
+    def __init__(self, grid, gravitational_acceleration=9.80665,
+                 advection: Optional[AdvectionScheme] = None,
+                 tracer_advection: Optional[AdvectionScheme] = None,
+                 coriolis=None, closure=None, bathymetry=None,
+                 tracers=(), forcing=None, boundary_conditions=None):
+        if grid.topology[2] is not FLAT or grid.Nz != 1:
+            raise ValueError("ShallowWaterModel requires a flat z-axis (size[2]=1)")
+        self.advection = advection if advection is not None else WENO5()
+        self.tracer_advection = (tracer_advection if tracer_advection is not None
+                                 else self.advection)
+        h_req = max(self.advection.required_halo, self.tracer_advection.required_halo)
+        self.grid = grid.with_halo((h_req, h_req, 0))
+        self.g = gravitational_acceleration
+        self.coriolis = coriolis
+        self.closure = closure
+        self.bathymetry = bathymetry  # hB array at centers or None
+        self.tracer_names = tuple(tracers)
+        self.forcing = forcing or {}
+        user_bcs = boundary_conditions or {}
+        self.bcs = {
+            "uh": regularize_bcs(self.grid, U_LOC, user_bcs.get("uh")),
+            "vh": regularize_bcs(self.grid, V_LOC, user_bcs.get("vh")),
+            "h": regularize_bcs(self.grid, CENTER, user_bcs.get("h")),
+        }
+        for name in self.tracer_names:
+            self.bcs[name] = regularize_bcs(self.grid, CENTER, user_bcs.get(name))
+
+    # -- pytree -------------------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.grid, self.g, self.coriolis, self.closure,
+                  self.bathymetry, self.bcs)
+        static = (self.advection, self.tracer_advection, self.tracer_names,
+                  tuple(sorted(self.forcing)), tuple(self.forcing[k] for k in sorted(self.forcing)))
+        return leaves, static
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        obj = object.__new__(cls)
+        (obj.grid, obj.g, obj.coriolis, obj.closure,
+         obj.bathymetry, obj.bcs) = leaves
+        obj.advection, obj.tracer_advection, obj.tracer_names = static[:3]
+        obj.forcing = dict(zip(static[3], static[4]))
+        return obj
+
+    # -- state --------------------------------------------------------------
+    def prognostic_names(self):
+        return ("uh", "vh", "h") + self.tracer_names
+
+    def initial_state(self, uh=0.0, vh=0.0, h=1.0, clock=None, **tracers):
+        from ..fields.field import new_field, set_field
+        g = self.grid
+        sol = {}
+        values = dict(uh=uh, vh=vh, h=h, **{n: tracers.get(n, 0.0) for n in self.tracer_names})
+        locs = self._locs()
+        for name in self.prognostic_names():
+            f = new_field(g, locs[name], self.bcs[name])
+            sol[name] = set_field(f, g, values[name]).data
+        clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
+        zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
+        return dict(solution=sol, clock=clock, G_prev=zeros)
+
+    def _locs(self):
+        locs = dict(uh=U_LOC, vh=V_LOC, h=CENTER)
+        for n in self.tracer_names:
+            locs[n] = CENTER
+        return locs
+
+    def fill_all_halos(self, sol, t=0.0):
+        locs = self._locs()
+        return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
+                for name, arr in sol.items()}
+
+    # -- physics ------------------------------------------------------------
+    def tendencies(self, state):
+        """G for every prognostic variable (reference
+        solution_and_tracer_tendencies.jl)."""
+        grid, g = self.grid, self.g
+        sol = state["solution"]
+        uh, vh, h = sol["uh"], sol["vh"], sol["h"]
+        clock = state["clock"]
+        scheme = self.advection
+
+        # momentum advection: fluxes of uh/vh transported by (uh, vh)/h
+        u_cc = st.ixc(uh)                              # ℑxᶜ(uh) at centers
+        v_ff = st.ixf(vh)                              # at (F,F,·)
+        flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False) / h
+        flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True) / _ixyff(h)
+        div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
+
+        u_ff = st.iyf(uh)
+        v_cc = st.iyc(vh)
+        flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True) / _ixyff(h)
+        flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False) / h
+        div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
+
+        # pressure gradient g ∂(h²/2) and bathymetry contribution
+        half_g_h2 = 0.5 * g * h * h
+        dp_x = st.dxf(half_g_h2) / grid.dx(U_LOC)
+        dp_y = st.dyf(half_g_h2) / grid.dy(V_LOC)
+
+        Guh = -div_mom_u - dp_x
+        Gvh = -div_mom_v - dp_y
+
+        if self.bathymetry is not None:
+            hB = self.bathymetry
+            Guh = Guh + g * st.ixf(h) * st.dxf(hB) / grid.dx(U_LOC)
+            Gvh = Gvh + g * st.iyf(h) * st.dyf(hB) / grid.dy(V_LOC)
+
+        if self.coriolis is not None:
+            zero_w = jnp.zeros_like(h)
+            Guh = Guh - self.coriolis.x_f_cross_U(grid, uh, vh, zero_w)
+            Gvh = Gvh - self.coriolis.y_f_cross_U(grid, uh, vh, zero_w)
+
+        if self.closure is not None:
+            Guh = Guh + momentum_diffusion(uh, grid, U_LOC, self.closure)
+            Gvh = Gvh + momentum_diffusion(vh, grid, V_LOC, self.closure)
+
+        # mass conservation: ∂h/∂t = −∇·(uh, vh)
+        Gh = -(st.dxc(grid.Ax(U_LOC) * uh)
+               + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER)
+
+        G = dict(uh=Guh, vh=Gvh, h=Gh)
+
+        # tracers: −∇·(Uc) + c∇·U
+        ts = self.tracer_advection
+        for name in self.tracer_names:
+            c = sol[name]
+            fx = grid.Ax(U_LOC) * transport(ts, uh, c, 0, True)
+            fy = grid.Ay(V_LOC) * transport(ts, vh, c, 1, True)
+            div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
+            c_div_U = c * (-Gh)
+            Gc = -div_Uc + c_div_U
+            if self.closure is not None:
+                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+            G[name] = Gc
+
+        # user forcing + boundary fluxes
+        fields = dict(sol)
+        locs = self._locs()
+        for name in self.prognostic_names():
+            if name in self.forcing:
+                G[name] = G[name] + self.forcing[name](grid, clock, fields)
+            G[name] = apply_flux_bcs(G[name], grid, locs[name],
+                                     self.bcs[name], clock.time)
+        return G
+
+    # -- stepping -----------------------------------------------------------
+    def step(self, state, dt):
+        """One RK3 step (reference runge_kutta_3.jl:81-130, minus the
+        pressure correction which the SW system doesn't need)."""
+        clock0 = state["clock"]
+        G_prev = None
+        for m, (gamma, zeta) in enumerate(zip(RK3_GAMMA, RK3_ZETA)):
+            G = self.tendencies(state)
+            sol = rk3_substep(state["solution"], G, G_prev, dt, gamma, zeta)
+            stage_dt = (gamma + zeta) * dt
+            clock = state["clock"].tick(stage_dt, stage=True)
+            sol = self.fill_all_halos(sol, clock.time)
+            state = dict(state, solution=sol, clock=clock)
+            G_prev = G
+        clock = Clock(clock0.time + dt, clock0.iteration + 1, 0)
+        return dict(state, clock=clock, G_prev=G_prev)
+
+    def cell_advection_timescale(self, state):
+        """min(Δ / (|u| + √(gh))) — gravity-wave-aware CFL timescale."""
+        sol = state["solution"]
+        grid = self.grid
+        h = sol["h"]
+        cg = jnp.sqrt(self.g * jnp.abs(h))
+        u = jnp.abs(sol["uh"] / st.ixf(h)) + cg
+        v = jnp.abs(sol["vh"] / st.iyf(h)) + cg
+        tx = grid.interior(grid.dx(U_LOC) / jnp.maximum(u, 1e-30))
+        ty = grid.interior(grid.dy(V_LOC) / jnp.maximum(v, 1e-30))
+        return jnp.minimum(jnp.min(tx), jnp.min(ty))
+
+    def velocities(self, state):
+        """Diagnostic u = uh/h̄ˣ, v = vh/h̄ʸ."""
+        sol = state["solution"]
+        return dict(u=sol["uh"] / st.ixf(sol["h"]),
+                    v=sol["vh"] / st.iyf(sol["h"]))
+
+    def fields(self, state):
+        locs = self._locs()
+        return {name: Field(arr, locs[name], self.bcs[name])
+                for name, arr in state["solution"].items()}
