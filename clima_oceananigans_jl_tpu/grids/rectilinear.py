@@ -191,7 +191,7 @@ class RectilinearGrid:
     # -- coordinates ---------------------------------------------------------
     def coord(self, axis, loc: Loc, with_halo=False):
         a = self._axes[axis]
-        arr = a.cc if loc is C else a.cf
+        arr = a.cc if Loc(loc) is C else a.cf
         return arr if with_halo else arr[a.h: a.h + a.n]
 
     def nodes(self, loc, with_halo=False):

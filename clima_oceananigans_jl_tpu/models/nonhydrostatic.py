@@ -1,0 +1,312 @@
+"""Nonhydrostatic (incompressible Boussinesq) model.
+
+TPU re-design of /root/reference/src/Models/NonhydrostaticModels/
+(nonhydrostatic_model.jl:26-203, nonhydrostatic_tendency_kernel_functions.jl:44-73,
+pressure_correction.jl, solve_for_pressure.jl, update_nonhydrostatic_model_state.jl):
+
+  ∂t u = G_u − ∂x pNHS,  G_u = −∇·(vu) − f×u|_x − ∂x pHY′ + ∇·(ν∇u) + Fu
+  ∂t w = G_w − ∂z pNHS,  G_w = −∇·(vw) − f×u|_z + ∇·(ν∇w) + Fw
+  (buoyancy and ∂z pHY′ cancel exactly in G_w by construction of
+   pHY′ = −∫ b̄ᶻ dz, reference update_hydrostatic_pressure.jl)
+  ∂t c = −∇·(vc) + ∇·(κ∇c) + Fc
+  ∇²pNHS = ∇·u*/Δt  (FFT / Fourier-tridiagonal eigenexpansion solve)
+
+Time stepping: quasi-AB2 with Euler first step / on Δt change (χ carried
+as an arithmetic select so the whole step stays one jitted function), or
+RK3 with per-stage projection.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
+from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
+from ..boundary_conditions.bcs import apply_flux_bcs, fill_halos, regularize_bcs
+from ..buoyancy.buoyancy import buoyancy_z_term, hydrostatic_pressure_anomaly
+from ..closures.scalar_diffusivity import (momentum_diffusion, tracer_diffusion)
+from ..fields.field import Field
+from ..grids.topology import FLAT
+from ..ops import operators as op
+from ..ops import stencil as st
+from ..solvers.fft_poisson import FFTPoissonSolver
+from ..solvers.fourier_tridiagonal import FourierTridiagonalSolver
+from ..timesteppers.steppers import (Clock, RK3_GAMMA, RK3_ZETA, ab2_substep,
+                                     rk3_substep)
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+
+
+def select_pressure_solver(grid):
+    """Regular grid → FFT; stretched-z (regular x,y) → Fourier-tridiagonal
+    (reference NonhydrostaticModels.jl:18-27)."""
+    if grid.all_regular:
+        return FFTPoissonSolver.build(grid)
+    if grid.hregular:
+        return FourierTridiagonalSolver.build(grid)
+    raise ValueError("grids stretched in x or y need an iterative solver "
+                     "(not yet wired into NonhydrostaticModel)")
+
+
+@jax.tree_util.register_pytree_node_class
+class NonhydrostaticModel:
+    def __init__(self, grid, advection=None, tracer_advection=None,
+                 buoyancy=None, coriolis=None, stokes_drift=None,
+                 closure=None, tracers=None, forcing=None,
+                 background_fields=None, boundary_conditions=None,
+                 timestepper="QuasiAdamsBashforth2", immersed_boundary=None):
+        self.advection = advection if advection is not None else CenteredSecondOrder()
+        self.tracer_advection = (tracer_advection if tracer_advection is not None
+                                 else self.advection)
+        # tracers: user list, expanded with buoyancy requirements
+        names = list(tracers) if tracers is not None else []
+        if buoyancy is not None:
+            for t in buoyancy.required_tracers:
+                if t not in names:
+                    names.append(t)
+        self.tracer_names = tuple(names)
+        h_req = max(self.advection.required_halo,
+                    self.tracer_advection.required_halo, 1)
+        self.grid = grid.with_halo((h_req, h_req, h_req))
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.stokes_drift = stokes_drift
+        self.closure = closure
+        self.forcing = forcing or {}
+        self.background_fields = background_fields or {}
+        self.timestepper = timestepper
+        self.ab2_chi = 0.1
+        self.immersed_boundary = immersed_boundary
+        self.pressure_solver = select_pressure_solver(self.grid)
+        user_bcs = boundary_conditions or {}
+        self.bcs = {
+            "u": regularize_bcs(self.grid, U_LOC, user_bcs.get("u")),
+            "v": regularize_bcs(self.grid, V_LOC, user_bcs.get("v")),
+            "w": regularize_bcs(self.grid, W_LOC, user_bcs.get("w")),
+        }
+        for n in self.tracer_names:
+            self.bcs[n] = regularize_bcs(self.grid, CENTER, user_bcs.get(n))
+        self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
+
+    # -- pytree ---------------------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.grid, self.buoyancy, self.coriolis, self.stokes_drift,
+                  self.closure, self.bcs, self.pressure_bcs,
+                  self.pressure_solver, self.background_fields)
+        fk = tuple(sorted(self.forcing))
+        static = (self.advection, self.tracer_advection, self.tracer_names,
+                  self.timestepper, self.ab2_chi, self.immersed_boundary,
+                  fk, tuple(self.forcing[k] for k in fk))
+        return leaves, static
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        obj = object.__new__(cls)
+        (obj.grid, obj.buoyancy, obj.coriolis, obj.stokes_drift, obj.closure,
+         obj.bcs, obj.pressure_bcs, obj.pressure_solver,
+         obj.background_fields) = leaves
+        (obj.advection, obj.tracer_advection, obj.tracer_names,
+         obj.timestepper, obj.ab2_chi, obj.immersed_boundary, fk, fv) = static
+        obj.forcing = dict(zip(fk, fv))
+        return obj
+
+    # -- state ----------------------------------------------------------------
+    def prognostic_names(self):
+        return ("u", "v", "w") + self.tracer_names
+
+    def _locs(self):
+        locs = dict(u=U_LOC, v=V_LOC, w=W_LOC)
+        for n in self.tracer_names:
+            locs[n] = CENTER
+        return locs
+
+    def initial_state(self, clock=None, **values):
+        from ..fields.field import new_field, set_field
+        g = self.grid
+        sol = {}
+        locs = self._locs()
+        for name in self.prognostic_names():
+            f = new_field(g, locs[name], self.bcs[name])
+            sol[name] = set_field(f, g, values.get(name, 0.0)).data
+        clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
+        zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
+        state = dict(solution=sol, clock=clock, G_prev=zeros,
+                     pNHS=jnp.zeros(g.total_shape, g.dtype),
+                     previous_dt=jnp.full((), -1.0, g.dtype))
+        return self.update_state(state)
+
+    def fill_all_halos(self, sol, t=0.0):
+        locs = self._locs()
+        return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
+                for name, arr in sol.items()}
+
+    def update_state(self, state):
+        """Halo fills + auxiliary recomputation (reference
+        update_nonhydrostatic_model_state.jl:14-37)."""
+        t = state["clock"].time
+        sol = self.fill_all_halos(state["solution"], t)
+        state = dict(state, solution=sol)
+        if self.immersed_boundary is not None:
+            state = self.immersed_boundary.mask_state(self, state)
+        if self.buoyancy is not None:
+            tr = {n: sol[n] for n in self.tracer_names}
+            ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr)
+            ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
+            state = dict(state, pHY=ph)
+        return state
+
+    # -- tendencies -------------------------------------------------------------
+    def tendencies(self, state):
+        grid = self.grid
+        sol = state["solution"]
+        u, v, w = sol["u"], sol["v"], sol["w"]
+        clock = state["clock"]
+        scheme = self.advection
+        G = {}
+
+        Gu = -div_vu(grid, scheme, u, v, w)
+        Gv = -div_vv(grid, scheme, u, v, w)
+        Gw = -div_vw(grid, scheme, u, v, w)
+
+        # background-field advection cross terms (reference tendency :61-63)
+        bg = self.background_fields
+        if bg:
+            bu = bg.get("u", jnp.zeros_like(u))
+            bv = bg.get("v", jnp.zeros_like(v))
+            bw = bg.get("w", jnp.zeros_like(w))
+            Gu = Gu - div_vu(grid, scheme, u, v, w, U=(bu, bv, bw)) \
+                    - div_vu(grid, scheme, bu, bv, bw, U=(u, v, w))
+            Gv = Gv - div_vv(grid, scheme, u, v, w, U=(bu, bv, bw)) \
+                    - div_vv(grid, scheme, bu, bv, bw, U=(u, v, w))
+            Gw = Gw - div_vw(grid, scheme, u, v, w, U=(bu, bv, bw)) \
+                    - div_vw(grid, scheme, bu, bv, bw, U=(u, v, w))
+
+        if self.coriolis is not None:
+            Gu = Gu - self.coriolis.x_f_cross_U(grid, u, v, w)
+            Gv = Gv - self.coriolis.y_f_cross_U(grid, u, v, w)
+            Gw = Gw - self.coriolis.z_f_cross_U(grid, u, v, w)
+
+        if self.buoyancy is not None and "pHY" in state:
+            ph = state["pHY"]
+            Gu = Gu - st.dxf(ph) / grid.dx(U_LOC)
+            Gv = Gv - st.dyf(ph) / grid.dy(V_LOC)
+            # Gw: buoyancy − ∂z pHY′ ≡ 0 by construction (see module docstring)
+
+        if self.stokes_drift is not None:
+            Gu = Gu + self.stokes_drift.x_curl_Us_cross_U(grid, u, v, w, clock.time)
+            Gv = Gv + self.stokes_drift.y_curl_Us_cross_U(grid, u, v, w, clock.time)
+            Gw = Gw + self.stokes_drift.z_curl_Us_cross_U(grid, u, v, w, clock.time)
+            Gu = Gu + self.stokes_drift.dt_us(grid, clock.time)
+            Gv = Gv + self.stokes_drift.dt_vs(grid, clock.time)
+            Gw = Gw + self.stokes_drift.dt_ws(grid, clock.time)
+
+        if self.closure is not None:
+            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure)
+            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure)
+            Gw = Gw + momentum_diffusion(w, grid, W_LOC, self.closure)
+
+        G.update(u=Gu, v=Gv, w=Gw)
+
+        ts = self.tracer_advection
+        for name in self.tracer_names:
+            c = sol[name]
+            Gc = -div_Uc(grid, ts, u, v, w, c)
+            if bg and name in bg:
+                Gc = Gc - div_Uc(grid, ts,
+                                 bg.get("u", jnp.zeros_like(u)),
+                                 bg.get("v", jnp.zeros_like(v)),
+                                 bg.get("w", jnp.zeros_like(w)), c)
+            if self.closure is not None:
+                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+            G[name] = Gc
+
+        fields = dict(sol)
+        locs = self._locs()
+        for name in self.prognostic_names():
+            if name in self.forcing:
+                G[name] = G[name] + self.forcing[name](grid, clock, fields)
+            G[name] = apply_flux_bcs(G[name], grid, locs[name],
+                                     self.bcs[name], clock.time)
+
+        if self.immersed_boundary is not None:
+            G = {k: self.immersed_boundary.mask_tendency(self, k, g_arr)
+                 for k, g_arr in G.items()}
+        return G
+
+    # -- pressure projection --------------------------------------------------
+    def project_velocities(self, state, dt):
+        """Make (u,v,w) divergence-free (reference pressure_correction.jl:10-40,
+        solve_for_pressure.jl:15-71); returns corrected state with pNHS."""
+        grid = self.grid
+        sol = self.fill_all_halos(state["solution"], state["clock"].time)
+        u, v, w = sol["u"], sol["v"], sol["w"]
+        div = op.div_ccc(u, v, w, grid)
+        rhs = grid.interior(div) / dt
+        phi_int = self.pressure_solver.solve(rhs)
+        pNHS = jnp.zeros(grid.total_shape, grid.dtype)
+        sl = tuple(slice(h, h + n) for h, n in zip(grid.halo, grid.shape))
+        pNHS = pNHS.at[sl].set(phi_int)
+        pNHS = fill_halos(pNHS, grid, CENTER, self.pressure_bcs)
+        u = u - dt * st.dxf(pNHS) / grid.dx(U_LOC)
+        v = v - dt * st.dyf(pNHS) / grid.dy(V_LOC)
+        w = w - dt * st.dzf(pNHS) / grid.dz(W_LOC)
+        sol = dict(sol, u=u, v=v, w=w)
+        return dict(state, solution=sol, pNHS=pNHS)
+
+    # -- stepping ---------------------------------------------------------------
+    def step(self, state, dt):
+        if self.timestepper == "RungeKutta3":
+            return self._rk3_step(state, dt)
+        return self._ab2_step(state, dt)
+
+    def _ab2_step(self, state, dt):
+        clock0 = state["clock"]
+        euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
+        G = self.tendencies(state)
+        sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
+                          self.ab2_chi, euler)
+        state = dict(state, solution=sol)
+        state = self.project_velocities(state, dt)
+        clock = clock0.tick(dt)
+        state = dict(state, clock=clock, G_prev=G,
+                     previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)
+        return self.update_state(state)
+
+    def _rk3_step(self, state, dt):
+        clock0 = state["clock"]
+        G_prev = None
+        for gamma, zeta in zip(RK3_GAMMA, RK3_ZETA):
+            G = self.tendencies(state)
+            sol = rk3_substep(state["solution"], G, G_prev, dt, gamma, zeta)
+            stage_dt = (gamma + zeta) * dt
+            state = dict(state, solution=sol)
+            state = self.project_velocities(state, stage_dt)
+            clock = state["clock"].tick(stage_dt, stage=True)
+            state = dict(state, clock=clock)
+            state = self.update_state(state)
+            G_prev = G
+        clock = Clock(clock0.time + dt, clock0.iteration + 1, 0)
+        return dict(state, clock=clock, G_prev=G_prev,
+                    previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)
+
+    # -- diagnostics ---------------------------------------------------------------
+    def cell_advection_timescale(self, state):
+        sol = state["solution"]
+        grid = self.grid
+        scales = []
+        for name, loc in (("u", U_LOC), ("v", V_LOC), ("w", W_LOC)):
+            if grid.topology[("u", "v", "w").index(name)] is FLAT:
+                continue
+            axis = ("u", "v", "w").index(name)
+            sp = grid.spacing(axis, loc)
+            val = grid.interior(sp / jnp.maximum(jnp.abs(sol[name]), 1e-30))
+            scales.append(jnp.min(val))
+        return jnp.min(jnp.stack(scales))
+
+    def fields(self, state):
+        locs = self._locs()
+        out = {name: Field(arr, locs[name], self.bcs[name])
+               for name, arr in state["solution"].items()}
+        out["pNHS"] = Field(state["pNHS"], CENTER, self.pressure_bcs)
+        if "pHY" in state:
+            out["pHY"] = Field(state["pHY"], CENTER, self.pressure_bcs)
+        return out

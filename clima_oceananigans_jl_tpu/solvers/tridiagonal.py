@@ -1,0 +1,61 @@
+"""Batched tridiagonal (Thomas) solver along z.
+
+TPU analog of /root/reference/src/Solvers/batched_tridiagonal_solver.jl:
+solves M φ = rhs column-wise for every (i, j), where M is tridiagonal with
+lower/diagonal/upper bands (a, b, c). Bands may be 1D (z only) or 3D.
+
+Implemented as two `lax.scan`s (forward elimination, back substitution)
+over the z axis with the full (x, y) plane as the batch — each scan step
+is one fused VPU pass over an (Nx, Ny) slab, which is the layout the TPU
+wants (batch = lanes).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _as3d(band, shape):
+    band = jnp.asarray(band)
+    if band.ndim == 1:
+        return jnp.broadcast_to(band.reshape(1, 1, -1), shape)
+    return jnp.broadcast_to(band, shape)
+
+
+def solve_batched_tridiagonal(a, b, c, d):
+    """Thomas algorithm along the last axis; a[...,0] and c[...,-1] ignored.
+
+    a: lower band (a[k] multiplies φ[k-1])
+    b: diagonal
+    c: upper band (c[k] multiplies φ[k+1])
+    d: right-hand side, shape (..., Nz)
+    """
+    shape = d.shape
+    a = _as3d(a, shape) if d.ndim == 3 else jnp.broadcast_to(a, shape)
+    b = _as3d(b, shape) if d.ndim == 3 else jnp.broadcast_to(b, shape)
+    c = _as3d(c, shape) if d.ndim == 3 else jnp.broadcast_to(c, shape)
+
+    # move z to the front for scan
+    a_t = jnp.moveaxis(a, -1, 0)
+    b_t = jnp.moveaxis(b, -1, 0)
+    c_t = jnp.moveaxis(c, -1, 0)
+    d_t = jnp.moveaxis(d, -1, 0)
+
+    def fwd(carry, xs):
+        cp_prev, dp_prev = carry
+        ak, bk, ck, dk = xs
+        denom = bk - ak * cp_prev
+        cp = ck / denom
+        dp = (dk - ak * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(d_t[0])
+    (_, _), (cp, dp) = jax.lax.scan(fwd, (zeros, zeros), (a_t, b_t, c_t, d_t))
+
+    def bwd(phi_next, xs):
+        cpk, dpk = xs
+        phi = dpk - cpk * phi_next
+        return phi, phi
+
+    _, phi_rev = jax.lax.scan(bwd, zeros, (cp, dp), reverse=True)
+    return jnp.moveaxis(phi_rev, 0, -1)

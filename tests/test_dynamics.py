@@ -1,0 +1,122 @@
+"""Analytic-solution dynamics tests (model: /root/reference/test/test_dynamics.jl)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, FLAT, PERIODIC, RectilinearGrid, ScalarDiffusivity,
+    CenteredSecondOrder, FPlane,
+)
+from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+
+
+def test_cosine_diffusion_against_analytic_solution():
+    """c(x,0)=cos(x) diffuses as e^{-κt}cos(x) (reference test_dynamics.jl:76-79)."""
+    n, kappa = 64, 1.0
+    g = RectilinearGrid(size=(n, 1, 1), x=(0, 2 * np.pi), y=(0, 1),
+                        topology=(PERIODIC, FLAT, FLAT), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, tracers=("c",),
+                                closure=ScalarDiffusivity(nu=0.0, kappa=kappa),
+                                timestepper="RungeKutta3")
+    g = model.grid
+    state = model.initial_state(c=lambda x, y, z: jnp.cos(x))
+    dt = 1e-4
+    step = jax.jit(model.step)
+    for _ in range(100):
+        state = step(state, jnp.float64(dt))
+    t = float(state["clock"].time)
+    x = np.asarray(g.coord(0, "c"))
+    # discrete decay rate: λ = (2 sin(Δ/2)/Δ)² for the 2nd-order laplacian
+    dx = 2 * np.pi / n
+    lam = (2 * np.sin(dx / 2) / dx) ** 2
+    expected = np.exp(-kappa * lam * t) * np.cos(x)
+    got = np.asarray(g.interior(state["solution"]["c"]))[:, 0, 0]
+    assert np.allclose(got, expected, atol=1e-6)
+
+
+def test_taylor_green_vortex():
+    """2D Taylor-Green: u = −cos x sin y e^{−2νt}, exact for the incompressible
+    equations; checks advection + projection + diffusion together
+    (reference test_dynamics.jl:219-244)."""
+    n, nu = 64, 1e-2
+    g = RectilinearGrid(size=(n, n, 1), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                        topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, closure=ScalarDiffusivity(nu=nu),
+                                advection=CenteredSecondOrder(),
+                                timestepper="RungeKutta3")
+    g = model.grid
+    u0 = lambda x, y, z: -jnp.cos(x) * jnp.sin(y)
+    v0 = lambda x, y, z: jnp.sin(x) * jnp.cos(y)
+    state = model.initial_state(u=u0, v=v0)
+    dt, nsteps = 1e-3, 200
+    step = jax.jit(model.step)
+    for _ in range(nsteps):
+        state = step(state, jnp.float64(dt))
+    t = float(state["clock"].time)
+    from clima_oceananigans_jl_tpu import U_LOC
+    xs = np.asarray(g.coord(0, U_LOC[0]))
+    ys = np.asarray(g.coord(1, U_LOC[1]))
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    dx = 2 * np.pi / n
+    lam = (2 * np.sin(dx / 2) / dx) ** 2  # discrete diffusion eigenvalue
+    expected = -np.cos(X) * np.sin(Y) * np.exp(-2 * nu * lam * t)
+    got = np.asarray(g.interior(state["solution"]["u"]))[:, :, 0]
+    err = np.max(np.abs(got - expected))
+    assert err < 2e-3  # advection truncation error at n=64
+
+
+def test_internal_wave_remains_bounded_and_oscillates():
+    """Linear internal-wave-ish sanity: stratified fluid with small
+    perturbation stays bounded with AB2 + buoyancy + projection."""
+    n = 16
+    g = RectilinearGrid(size=(n, 1, n), x=(0, 2 * np.pi), y=(0, 1), z=(-np.pi, 0),
+                        topology=(PERIODIC, FLAT, BOUNDED), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, buoyancy=BuoyancyTracer(), tracers=("b",))
+    g = model.grid
+    N2 = 1.0
+    state = model.initial_state(
+        b=lambda x, y, z: N2 * z + 1e-6 * jnp.sin(x) * jnp.sin(z),
+        u=lambda x, y, z: 1e-6 * jnp.sin(x) * jnp.sin(z))
+    step = jax.jit(model.step)
+    for _ in range(100):
+        state = step(state, jnp.float64(1e-2))
+    for k in ("u", "v", "w", "b"):
+        arr = np.asarray(g.interior(state["solution"][k]))
+        assert np.all(np.isfinite(arr))
+    w = np.asarray(g.interior(state["solution"]["w"]))
+    assert np.abs(w).max() < 1e-3  # perturbation stays linear
+
+
+def test_ab2_euler_first_step_then_ab2():
+    g = RectilinearGrid(size=(8, 8, 1), extent=(1, 1),
+                        x=(0, 1), y=(0, 1),
+                        topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, tracers=("c",),
+                                closure=ScalarDiffusivity(kappa=0.1))
+    state = model.initial_state(c=lambda x, y, z: jnp.sin(2 * np.pi * x))
+    step = jax.jit(model.step)
+    s1 = step(state, jnp.float64(1e-3))
+    s2 = step(s1, jnp.float64(1e-3))
+    assert int(s2["clock"].iteration) == 2
+    assert np.all(np.isfinite(np.asarray(s2["solution"]["c"])))
+
+
+def test_rotation_inertial_oscillation():
+    """f-plane with uniform flow: u² + v² conserved, rotating at frequency f."""
+    g = RectilinearGrid(size=(4, 4, 1), x=(0, 1), y=(0, 1),
+                        topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    f = 1.0
+    model = NonhydrostaticModel(grid=g, coriolis=FPlane(f=f), advection=None)
+    g = model.grid
+    state = model.initial_state(u=1.0, v=0.0)
+    dt, nsteps = 1e-3, 1000
+    step = jax.jit(model.step)
+    for _ in range(nsteps):
+        state = step(state, jnp.float64(dt))
+    t = nsteps * dt
+    u = float(np.mean(np.asarray(g.interior(state["solution"]["u"]))))
+    v = float(np.mean(np.asarray(g.interior(state["solution"]["v"]))))
+    assert np.isclose(u, np.cos(f * t), atol=2e-3)
+    assert np.isclose(v, -np.sin(f * t), atol=2e-3)
