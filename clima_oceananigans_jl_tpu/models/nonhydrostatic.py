@@ -25,6 +25,7 @@ from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
 from ..boundary_conditions.bcs import apply_flux_bcs, fill_halos, regularize_bcs
 from ..buoyancy.buoyancy import buoyancy_z_term, hydrostatic_pressure_anomaly
 from ..closures.scalar_diffusivity import (momentum_diffusion, tracer_diffusion)
+from ..closures.implicit_vertical_diffusion import implicit_step_fields
 from ..fields.field import Field
 from ..grids.topology import FLAT
 from ..ops import operators as op
@@ -264,6 +265,7 @@ class NonhydrostaticModel:
         G = self.tendencies(state)
         sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                           self.ab2_chi, euler)
+        sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure, dt)
         state = dict(state, solution=sol)
         state = self.project_velocities(state, dt)
         clock = clock0.tick(dt)
@@ -278,6 +280,8 @@ class NonhydrostaticModel:
             G = self.tendencies(state)
             sol = rk3_substep(state["solution"], G, G_prev, dt, gamma, zeta)
             stage_dt = (gamma + zeta) * dt
+            sol = implicit_step_fields(sol, self.grid, self._locs(),
+                                       self.closure, stage_dt)
             state = dict(state, solution=sol)
             state = self.project_velocities(state, stage_dt)
             clock = state["clock"].tick(stage_dt, stage=True)
