@@ -233,12 +233,14 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
     return data
 
 
-def fill_halos(data, grid, loc, bcs=None, t=0.0):
+def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
     """Fill all halo regions of `data`. Periodic axes first (reference
-    fill_halo_regions.jl:57-95 ordering) so corner halos end up consistent."""
+    fill_halo_regions.jl:57-95 ordering) so corner halos end up consistent.
+    `axes` restricts the fill (e.g. (0, 1) for z-reduced free-surface
+    fields whose array has no z halo)."""
     if bcs is None:
         bcs = default_bcs(grid, loc)
-    order = sorted(range(3), key=lambda a: grid.topology[a] is not PERIODIC)
+    order = sorted((a for a in axes), key=lambda a: grid.topology[a] is not PERIODIC)
     pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north), (bcs.bottom, bcs.top))
     for axis in order:
         data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t)

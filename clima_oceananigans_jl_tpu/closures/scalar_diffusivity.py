@@ -80,6 +80,19 @@ class ScalarBiharmonicDiffusivity:
         return cls(*leaves)
 
 
+def HorizontalScalarDiffusivity(nu=0.0, kappa=0.0):
+    """Horizontal-only ν/κ (reference HorizontalScalarDiffusivity) — the
+    stable way to run large eddy viscosities on coarse vertical grids."""
+    return ScalarDiffusivity(nu=nu, kappa=kappa, nu_z=0.0, kappa_z=0.0)
+
+
+def VerticalScalarDiffusivity(nu=0.0, kappa=0.0,
+                              time_discretization="explicit"):
+    """Vertical-only ν/κ (reference VerticalScalarDiffusivity)."""
+    return ScalarDiffusivity(nu=0.0, kappa=0.0, nu_z=nu, kappa_z=kappa,
+                             time_discretization=time_discretization)
+
+
 def div_kappa_grad(c, grid, loc, kappa, kappa_z=None, horizontal_only=False,
                    vertical=True):
     """∇·(κ∇c) at `loc` in FV form; κ may differ horizontally/vertically."""

@@ -103,6 +103,40 @@ class ConstantCartesianCoriolis:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class HydrostaticSphericalCoriolis:
+    """f = 2Ω sin φ on a lat-lon grid, enstrophy-conserving discretization
+    (reference hydrostatic_spherical_coriolis.jl): f lives at vorticity
+    points (F,F,·); the cross-product terms are metric-weighted averages
+    so that the discrete Coriolis force conserves enstrophy."""
+
+    rotation_rate: float = 7.292115e-5  # Ω_Earth [s⁻¹]
+
+    def _f_ff(self, grid):
+        import numpy as np
+        phi_f = grid.nodes((F, F, C), with_halo=True)[1]
+        return 2.0 * self.rotation_rate * jnp.sin(jnp.pi / 180.0 * phi_f)
+
+    def x_f_cross_U(self, grid, u, v, w):
+        f = self._f_ff(grid)
+        return -st.iyc(f * st.ixf(grid.dx((C, F, C)) * v)) / grid.dx(U_LOC)
+
+    def y_f_cross_U(self, grid, u, v, w):
+        f = self._f_ff(grid)
+        return st.ixc(f * st.iyf(grid.dy((F, C, C)) * u)) / grid.dy(V_LOC)
+
+    def z_f_cross_U(self, grid, u, v, w):
+        return jnp.zeros_like(w)
+
+    def tree_flatten(self):
+        return (self.rotation_rate,), ()
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*leaves)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class NonTraditionalBetaPlane:
     """Non-traditional β-plane (reference non_traditional_beta_plane.jl):
     fz = f₀ + βy (horizontal rotation) plus fy = γ + δ(z-ish) horizontal

@@ -1,0 +1,222 @@
+"""Free-surface treatments for the hydrostatic model.
+
+TPU re-design of the reference free-surface family:
+* ``ExplicitFreeSurface`` (explicit_free_surface.jl): ∂t η = −∇h·U in the
+  same AB2 sweep; g∂η appears in the momentum tendency.
+* ``ImplicitFreeSurface`` (implicit_free_surface.jl:36-80): solve
+  [∇h·(H∇h) − 1/gΔt²] η = (∇h·Q★ − η/Δt)/(gΔt), with a 2D FFT
+  eigen-solve on horizontally-regular grids
+  (fft_based_implicit_free_surface_solver.jl) or matrix-free CG
+  (pcg_implicit_free_surface_solver.jl); then uⁿ⁺¹ = u★ − gΔt ∂x η.
+* ``SplitExplicitFreeSurface`` (split_explicit_free_surface.jl,
+  split_explicit_free_surface_kernels.jl:15-76): barotropic substepping
+  ∂τU = −gH∇η + Gᵁ, ∂τη = −∇·U over 2Δt with time-filtered averages, as
+  one on-device ``lax.fori_loop`` of cheap 2D kernels, then the
+  barotropic corrector u += (U̅−U)/H.
+
+All free-surface state (η, U̅, …) are with-halo ``(X, Y, 1)`` arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..boundary_conditions.bcs import fill_halos
+from ..grids.topology import BOUNDED, FLAT, PERIODIC
+from ..ops import stencil as st
+from ..solvers.fft_poisson import poisson_eigenvalues, _reshape_axis
+from ..solvers.pcg import cg_solve
+from ..utils.location import C, F, CENTER, U_LOC, V_LOC
+
+ETA_LOC = (C, C, F)  # η sits at the top face; horizontal staggering is (C,C)
+
+
+def fill2d(arr, grid, loc, bcs=None, t=0.0):
+    return fill_halos(arr, grid, loc, bcs, t, axes=(0, 1))
+
+
+def depth_integral(grid, q, loc):
+    """∫ q dz over interior z (with-halo (X,Y,1) result)."""
+    dz = grid.dz(loc)
+    Hz, Nz = grid.Hz, grid.Nz
+    qdz = q * dz
+    return jnp.sum(qdz[:, :, Hz:Hz + Nz], axis=2, keepdims=True)
+
+
+def barotropic_mode(grid, u, v):
+    """(U, V) = (∫u dz, ∫v dz) (reference barotropic_mode_kernel!)."""
+    return depth_integral(grid, u, U_LOC), depth_integral(grid, v, V_LOC)
+
+
+def column_depths(grid):
+    """(Hᶠᶜ, Hᶜᶠ) static water depths (broadcastable (·,·,1) arrays)."""
+    Hz, Nz = grid.Hz, grid.Nz
+    one = jnp.ones(grid.total_shape[:2] + (1,), grid.dtype)
+    hfc = jnp.sum(jnp.broadcast_to(grid.dz(U_LOC), grid.total_shape)[:, :, Hz:Hz + Nz],
+                  axis=2, keepdims=True)
+    hcf = jnp.sum(jnp.broadcast_to(grid.dz(V_LOC), grid.total_shape)[:, :, Hz:Hz + Nz],
+                  axis=2, keepdims=True)
+    return one * hfc, one * hcf
+
+
+def div_xy_2d(grid, U, V):
+    """2D transport divergence ∇h·(U,V) at centers: (δx(Δy U) + δy(Δx V))/Az."""
+    return (st.dxc(grid.dy(U_LOC) * U) + st.dyc(grid.dx(V_LOC) * V)) / grid.Az(CENTER)
+
+
+def grad_x(grid, eta):
+    return st.dxf(eta) / grid.dx(U_LOC)
+
+
+def grad_y(grid, eta):
+    return st.dyf(eta) / grid.dy(V_LOC)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ExplicitFreeSurface:
+    gravitational_acceleration: float = 9.80665
+
+    def tree_flatten(self):
+        return (self.gravitational_acceleration,), ()
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*leaves)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ImplicitFreeSurface:
+    """solver_method: 'fft' (regular horizontal spacing, constant depth),
+    'pcg' (general, incl. lat-lon), or 'auto'."""
+
+    gravitational_acceleration: float = 9.80665
+    solver_method: str = "auto"
+    tolerance: float = 1e-10
+    maxiter: int = 500
+
+    def tree_flatten(self):
+        return (self.gravitational_acceleration,), (self.solver_method,
+                                                    self.tolerance, self.maxiter)
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(leaves[0], *static)
+
+    def resolve_method(self, grid):
+        if self.solver_method != "auto":
+            return self.solver_method
+        return "fft" if (not grid.curvilinear and grid.hregular) else "pcg"
+
+    def solve(self, grid, eta_bcs, rhs, eta0, dt):
+        """Solve [∇h·(H∇h) − 1/gΔt²] η = rhs (with-halo (X,Y,1) arrays)."""
+        g = self.gravitational_acceleration
+        method = self.resolve_method(grid)
+        Hfc, Hcf = column_depths(grid)
+        if method == "fft":
+            # constant H: (∇²h − 1/gHΔt²) η = rhs / H
+            H = float(grid.Lz)
+            # axis extents are static floats, so this traces cleanly under jit
+            lx = _reshape_axis(poisson_eigenvalues(
+                grid.Nx, grid._axes[0].extent, grid.topology[0], grid.dtype), 0)
+            ly = _reshape_axis(poisson_eigenvalues(
+                grid.Ny, grid._axes[1].extent, grid.topology[1], grid.dtype), 1)
+            sl = (slice(grid.Hx, grid.Hx + grid.Nx), slice(grid.Hy, grid.Hy + grid.Ny))
+            b = rhs[sl[0], sl[1], :] / H
+            import jax.scipy.fft as jfft
+            dct_x = grid.topology[0] is BOUNDED
+            dct_y = grid.topology[1] is BOUNDED
+            if dct_x:
+                b = jfft.dct(b, type=2, axis=0, norm="ortho")
+            if dct_y:
+                b = jfft.dct(b, type=2, axis=1, norm="ortho")
+            fft_axes = tuple(a for a, isdct in ((0, dct_x), (1, dct_y))
+                             if not isdct and grid.topology[a] is PERIODIC)
+            if fft_axes:
+                b = jnp.fft.fftn(b, axes=fft_axes)
+            m = 1.0 / (g * H * dt * dt)
+            denom = -(lx + ly)[:, :, :1] - m
+            phi = b / denom
+            if fft_axes:
+                phi = jnp.fft.ifftn(phi, axes=fft_axes)
+            phi = jnp.real(phi) if jnp.iscomplexobj(phi) else phi
+            if dct_y:
+                phi = jfft.idct(phi, type=2, axis=1, norm="ortho")
+            if dct_x:
+                phi = jfft.idct(phi, type=2, axis=0, norm="ortho")
+            eta = jnp.zeros_like(eta0).at[sl[0], sl[1], :].set(phi.astype(grid.dtype))
+            return fill2d(eta, grid, ETA_LOC, eta_bcs)
+
+        # matrix-free CG on the negated, Az-symmetrized operator: multiplying
+        # the equation by the cell area Az makes the FV 5-point stencil
+        # symmetric in the plain l2 inner product CG assumes (on curvilinear
+        # grids the raw operator incl. 1/Az is only self-adjoint in the
+        # Az-weighted product)
+        interior = (slice(grid.Hx, grid.Hx + grid.Nx),
+                    slice(grid.Hy, grid.Hy + grid.Ny), slice(None))
+        Az = grid.Az(CENTER)
+
+        def matvec(eta_int):
+            eta = jnp.zeros_like(eta0).at[interior].set(eta_int)
+            eta = fill2d(eta, grid, ETA_LOC, eta_bcs)
+            lap = div_xy_2d(grid, Hfc * grad_x(grid, eta), Hcf * grad_y(grid, eta))
+            out = -(Az * lap - Az * eta / (g * dt * dt))
+            return out[interior]
+
+        x, n_it, res2 = cg_solve(matvec, (-Az * rhs)[interior], eta0[interior],
+                                 reltol=self.tolerance, maxiter=self.maxiter)
+        eta = jnp.zeros_like(eta0).at[interior].set(x)
+        return fill2d(eta, grid, ETA_LOC, eta_bcs)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SplitExplicitFreeSurface:
+    gravitational_acceleration: float = 9.80665
+    substeps: int = 200
+
+    def tree_flatten(self):
+        return (self.gravitational_acceleration,), (self.substeps,)
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(leaves[0], static[0])
+
+    def substep_eta(self, grid, eta_bcs, eta0, GU, GV, U0, V0, dt):
+        """The barotropic substep loop (one lax.fori_loop over 2Δt).
+
+        Returns (η̅-filtered η, U̅, V̅) — reference
+        split_explicit_free_surface_kernels.jl:15-58 + settings weights
+        (uniform 1/substeps averaging)."""
+        g = self.gravitational_acceleration
+        n = self.substeps
+        dtau = 2.0 * dt / n
+        w = 1.0 / n
+        Hfc, Hcf = column_depths(grid)
+
+        def body(i, carry):
+            eta, U, V, eta_av, U_av, V_av = carry
+            eta = fill2d(eta, grid, ETA_LOC, eta_bcs)
+            U = U + dtau * (-g * Hfc * grad_x(grid, eta) + GU)
+            V = V + dtau * (-g * Hcf * grad_y(grid, eta) + GV)
+            U = fill2d(U, grid, U_LOC, None)
+            V = fill2d(V, grid, V_LOC, None)
+            eta = eta - dtau * div_xy_2d(grid, U, V)
+            return (eta, U, V, eta_av + w * eta, U_av + w * U, V_av + w * V)
+
+        z = jnp.zeros_like(eta0)
+        eta, U, V, eta_av, U_av, V_av = jax.lax.fori_loop(
+            0, n, body, (eta0, U0, V0, z, jnp.zeros_like(U0), jnp.zeros_like(V0)))
+        eta_av = fill2d(eta_av, grid, ETA_LOC, eta_bcs)
+        return eta_av, U_av, V_av
+
+    def corrector(self, grid, u, v, U_av, V_av):
+        """u += (U̅ − ∫u dz)/H (reference barotropic_split_explicit_corrector!)."""
+        Hfc, Hcf = column_depths(grid)
+        U, V = barotropic_mode(grid, u, v)
+        u = u + (U_av - U) / Hfc
+        v = v + (V_av - V) / Hcf
+        return u, v

@@ -1,0 +1,322 @@
+"""Hydrostatic free-surface (primitive-equation) model.
+
+TPU re-design of /root/reference/src/Models/HydrostaticFreeSurfaceModels/
+(hydrostatic_free_surface_model.jl, hydrostatic_free_surface_tendency_
+kernel_functions.jl, hydrostatic_free_surface_ab2_step.jl:14-27,
+compute_w_from_continuity.jl, barotropic_pressure_correction.jl):
+
+  ∂t u = G_u − g∂x η(explicit) ,  G_u = −U·∇u − f×u|x − ∂x pHY′ + ∇·τ + Fu
+  ∂t c = −∇·(U c) + ∇·(κ∇c) + Fc
+  w    = −∫_{-H}^z ∇h·u dz'          (continuity, diagnosed)
+  ∂t η = −∇h·U                       (stepped per the free-surface treatment)
+
+Prognostic state: (u, v, tracers, η); w and pHY′ are diagnosed in
+``update_state``. Time stepping is quasi-AB2 with the free-surface step
+split out (explicit / implicit-solve / split-explicit barotropic
+substepping) exactly as in the reference; the whole step is one jitted
+pure function of ``(state, Δt)``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..advection.fluxes import div_Uc, div_vu, div_vv
+from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
+from ..advection.vector_invariant import VectorInvariant
+from ..boundary_conditions.bcs import (FieldBCs, FluxBC, OpenBC, apply_flux_bcs,
+                                       fill_halos, regularize_bcs)
+from ..buoyancy.buoyancy import hydrostatic_pressure_anomaly
+from ..closures.implicit_vertical_diffusion import implicit_step_fields
+from ..closures.scalar_diffusivity import momentum_diffusion, tracer_diffusion
+from ..fields.field import Field
+from ..grids.topology import BOUNDED, FLAT
+from ..ops import operators as op
+from ..ops import stencil as st
+from ..timesteppers.steppers import Clock, ab2_substep
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+from .free_surface import (ETA_LOC, ExplicitFreeSurface, ImplicitFreeSurface,
+                           SplitExplicitFreeSurface, barotropic_mode,
+                           div_xy_2d, fill2d, grad_x, grad_y)
+
+
+@jax.tree_util.register_pytree_node_class
+class HydrostaticFreeSurfaceModel:
+    def __init__(self, grid, momentum_advection="default",
+                 tracer_advection="default",
+                 free_surface=None, buoyancy=None, coriolis=None, closure=None,
+                 tracers=None, forcing=None, boundary_conditions=None):
+        if grid.topology[2] is FLAT:
+            raise ValueError("HydrostaticFreeSurfaceModel needs a z direction")
+        # None explicitly disables a term (reference `advection = nothing`)
+        self.momentum_advection = (VectorInvariant()
+                                   if momentum_advection == "default"
+                                   else momentum_advection)
+        self.tracer_advection = (CenteredSecondOrder()
+                                 if tracer_advection == "default"
+                                 else tracer_advection)
+        names = list(tracers) if tracers is not None else []
+        if buoyancy is not None:
+            for t in buoyancy.required_tracers:
+                if t not in names:
+                    names.append(t)
+        self.tracer_names = tuple(names)
+        h_req = max(getattr(self.momentum_advection, "required_halo", 1),
+                    getattr(self.tracer_advection, "required_halo", 1), 1)
+        self.grid = grid.with_halo((h_req, h_req, h_req))
+        self.free_surface = (free_surface if free_surface is not None
+                             else ImplicitFreeSurface())
+        self.buoyancy = buoyancy
+        self.coriolis = coriolis
+        self.closure = closure
+        self.forcing = forcing or {}
+        self.ab2_chi = 0.1
+        user_bcs = boundary_conditions or {}
+        self.bcs = {
+            "u": regularize_bcs(self.grid, U_LOC, user_bcs.get("u")),
+            "v": regularize_bcs(self.grid, V_LOC, user_bcs.get("v")),
+        }
+        for n in self.tracer_names:
+            self.bcs[n] = regularize_bcs(self.grid, CENTER, user_bcs.get(n))
+        self.eta_bcs = regularize_bcs(self.grid, ETA_LOC, user_bcs.get("eta"))
+        # w halos: zero-gradient in z so the continuity-diagnosed top face survives
+        wb = regularize_bcs(self.grid, W_LOC, user_bcs.get("w"))
+        if self.grid.topology[2] is BOUNDED:
+            wb.bottom = OpenBC(0.0)
+            wb.top = FluxBC()
+        self.w_bcs = wb
+        self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
+
+    # -- pytree ---------------------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.grid, self.free_surface, self.buoyancy, self.coriolis,
+                  self.closure, self.bcs, self.eta_bcs, self.w_bcs,
+                  self.pressure_bcs)
+        fk = tuple(sorted(self.forcing))
+        static = (self.momentum_advection, self.tracer_advection,
+                  self.tracer_names, self.ab2_chi, fk,
+                  tuple(self.forcing[k] for k in fk))
+        return leaves, static
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        obj = object.__new__(cls)
+        (obj.grid, obj.free_surface, obj.buoyancy, obj.coriolis, obj.closure,
+         obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs) = leaves
+        (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
+         obj.ab2_chi, fk, fv) = static
+        obj.forcing = dict(zip(fk, fv))
+        return obj
+
+    # -- state ----------------------------------------------------------------
+    def prognostic_names(self):
+        return ("u", "v") + self.tracer_names
+
+    def _locs(self):
+        locs = dict(u=U_LOC, v=V_LOC)
+        for n in self.tracer_names:
+            locs[n] = CENTER
+        return locs
+
+    @property
+    def _explicit_fs(self):
+        return isinstance(self.free_surface, ExplicitFreeSurface)
+
+    def initial_state(self, clock=None, eta=0.0, **values):
+        from ..fields.field import new_field, set_field
+        g = self.grid
+        sol = {}
+        locs = self._locs()
+        for name in self.prognostic_names():
+            f = new_field(g, locs[name], self.bcs[name])
+            sol[name] = set_field(f, g, values.get(name, 0.0)).data
+        eta_arr = jnp.zeros(g.total_shape[:2] + (1,), g.dtype)
+        if callable(eta):
+            x, y, _ = g.nodes(ETA_LOC, with_halo=True)
+            eta_arr = jnp.broadcast_to(
+                jnp.asarray(eta(x[:, :, :1], y[:, :, :1]), g.dtype), eta_arr.shape)
+        else:
+            eta_arr = eta_arr + eta
+        eta_arr = fill2d(eta_arr, g, ETA_LOC, self.eta_bcs)
+        clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
+        zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
+        if self._explicit_fs:
+            zeros["eta"] = jnp.zeros_like(eta_arr)
+        state = dict(solution=sol, eta=eta_arr, clock=clock, G_prev=zeros,
+                     previous_dt=jnp.full((), -1.0, g.dtype))
+        return self.update_state(state)
+
+    def fill_all_halos(self, sol, t=0.0):
+        locs = self._locs()
+        return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
+                for name, arr in sol.items()}
+
+    def compute_w(self, sol):
+        """w from continuity, integrated bottom-up
+        (reference compute_w_from_continuity.jl:30-36)."""
+        g = self.grid
+        Hz, Nz = g.Hz, g.Nz
+        d = op.div_xy_ccc(sol["u"], sol["v"], g)          # (X,Y,Z) at centers
+        incr = (jnp.broadcast_to(g.dz(CENTER), d.shape) * d)[:, :, Hz:Hz + Nz]
+        cum = jnp.cumsum(incr, axis=2)                     # ∫ up through cell k
+        w = jnp.zeros(g.total_shape, g.dtype)
+        # face k+1 (array index Hz+1+k) = −cumsum through cell k; face Hz = 0
+        w = w.at[:, :, Hz + 1: Hz + Nz + 1].set(-cum)
+        return fill_halos(w, g, W_LOC, self.w_bcs)
+
+    def update_state(self, state):
+        t = state["clock"].time
+        sol = self.fill_all_halos(state["solution"], t)
+        eta = fill2d(state["eta"], self.grid, ETA_LOC, self.eta_bcs, t)
+        state = dict(state, solution=sol, eta=eta)
+        state = dict(state, w=self.compute_w(sol))
+        if self.buoyancy is not None:
+            tr = {n: sol[n] for n in self.tracer_names}
+            ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr)
+            ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
+            state = dict(state, pHY=ph)
+        return state
+
+    # -- tendencies -------------------------------------------------------------
+    def tendencies(self, state):
+        grid = self.grid
+        sol = state["solution"]
+        u, v = sol["u"], sol["v"]
+        w = state["w"]
+        clock = state["clock"]
+        scheme = self.momentum_advection
+        fs = self.free_surface
+
+        if isinstance(scheme, VectorInvariant):
+            Gu = -scheme.U_dot_grad_u(grid, u, v, w)
+            Gv = -scheme.U_dot_grad_v(grid, u, v, w)
+        elif scheme is None:
+            Gu = jnp.zeros_like(u)
+            Gv = jnp.zeros_like(v)
+        else:  # conservative flux form
+            Gu = -div_vu(grid, scheme, u, v, w)
+            Gv = -div_vv(grid, scheme, u, v, w)
+
+        if self._explicit_fs:
+            g_const = fs.gravitational_acceleration
+            Gu = Gu - g_const * grad_x(grid, state["eta"])
+            Gv = Gv - g_const * grad_y(grid, state["eta"])
+
+        if self.coriolis is not None:
+            Gu = Gu - self.coriolis.x_f_cross_U(grid, u, v, w)
+            Gv = Gv - self.coriolis.y_f_cross_U(grid, u, v, w)
+
+        if self.buoyancy is not None and "pHY" in state:
+            ph = state["pHY"]
+            Gu = Gu - st.dxf(ph) / grid.dx(U_LOC)
+            Gv = Gv - st.dyf(ph) / grid.dy(V_LOC)
+
+        if self.closure is not None:
+            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure)
+            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure)
+
+        G = dict(u=Gu, v=Gv)
+
+        ts = self.tracer_advection
+        for name in self.tracer_names:
+            c = sol[name]
+            Gc = (-div_Uc(grid, ts, u, v, w, c) if ts is not None
+                  else jnp.zeros_like(c))
+            if self.closure is not None:
+                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+            G[name] = Gc
+
+        fields = dict(sol, w=w, eta=state["eta"])
+        locs = self._locs()
+        for name in self.prognostic_names():
+            if name in self.forcing:
+                G[name] = G[name] + self.forcing[name](grid, clock, fields)
+            G[name] = apply_flux_bcs(G[name], grid, locs[name],
+                                     self.bcs[name], clock.time)
+        return G
+
+    # -- stepping ---------------------------------------------------------------
+    def step(self, state, dt):
+        """Quasi-AB2 with the free-surface family split out (reference
+        hydrostatic_free_surface_ab2_step.jl:14-27)."""
+        grid = self.grid
+        fs = self.free_surface
+        clock0 = state["clock"]
+        euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
+        chi = jnp.where(euler, -0.5, self.ab2_chi)
+
+        G = self.tendencies(state)
+        G_prev = state["G_prev"]
+
+        if self._explicit_fs:
+            U, V = barotropic_mode(grid, state["solution"]["u"], state["solution"]["v"])
+            G["eta"] = -div_xy_2d(grid, U, V)
+            sol_all = dict(state["solution"], eta=state["eta"])
+            stepped = ab2_substep(sol_all, G, G_prev, dt, self.ab2_chi, euler)
+            eta = stepped.pop("eta")
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            new_state = dict(state, solution=sol, eta=eta, G_prev=G)
+
+        elif isinstance(fs, SplitExplicitFreeSurface):
+            # barotropic mode of uⁿ (before the baroclinic step)
+            U0, V0 = barotropic_mode(grid, state["solution"]["u"], state["solution"]["v"])
+            # combined AB2 tendencies for the barotropic forcing
+            c1, c2 = 1.5 + chi, 0.5 + chi
+            GU, _ = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
+                                    c1 * G["v"] - c2 * G_prev["v"])
+            _, GV = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
+                                    c1 * G["v"] - c2 * G_prev["v"])
+            stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            eta, U_av, V_av = fs.substep_eta(grid, self.eta_bcs, state["eta"],
+                                             GU, GV, U0, V0, dt)
+            u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av)
+            sol = dict(sol, u=u, v=v)
+            new_state = dict(state, solution=sol, eta=eta, G_prev=G)
+
+        else:  # ImplicitFreeSurface
+            stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            sol = self.fill_all_halos(sol, clock0.time)
+            Qu, Qv = barotropic_mode(grid, sol["u"], sol["v"])
+            g_const = fs.gravitational_acceleration
+            rhs = (div_xy_2d(grid, Qu, Qv) - state["eta"] / dt) / (g_const * dt)
+            eta = fs.solve(grid, self.eta_bcs, rhs, state["eta"], dt)
+            u = sol["u"] - g_const * dt * grad_x(grid, eta)
+            v = sol["v"] - g_const * dt * grad_y(grid, eta)
+            sol = dict(sol, u=u, v=v)
+            new_state = dict(state, solution=sol, eta=eta, G_prev=G)
+
+        clock = clock0.tick(dt)
+        new_state = dict(new_state, clock=clock,
+                         previous_dt=jnp.full((), 1.0, grid.dtype) * dt)
+        return self.update_state(new_state)
+
+    # -- diagnostics ---------------------------------------------------------------
+    def cell_advection_timescale(self, state):
+        sol = state["solution"]
+        grid = self.grid
+        scales = []
+        vels = (("u", U_LOC, 0), ("v", V_LOC, 1))
+        for name, loc, axis in vels:
+            if grid.topology[axis] is FLAT:
+                continue
+            sp = grid.spacing(axis, loc)
+            val = grid.interior(jnp.broadcast_to(
+                sp / jnp.maximum(jnp.abs(sol[name]), 1e-30), grid.total_shape))
+            scales.append(jnp.min(val))
+        w = state.get("w")
+        if w is not None and grid.topology[2] is not FLAT:
+            sp = grid.spacing(2, W_LOC)
+            val = grid.interior(jnp.broadcast_to(
+                sp / jnp.maximum(jnp.abs(w), 1e-30), grid.total_shape))
+            scales.append(jnp.min(val))
+        return jnp.min(jnp.stack(scales))
+
+    def fields(self, state):
+        locs = self._locs()
+        out = {name: Field(arr, locs[name], self.bcs[name])
+               for name, arr in state["solution"].items()}
+        out["w"] = Field(state["w"], W_LOC, self.w_bcs)
+        out["eta"] = Field(state["eta"], ETA_LOC, self.eta_bcs)
+        return out
