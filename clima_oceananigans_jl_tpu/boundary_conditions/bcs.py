@@ -110,6 +110,11 @@ def default_bcs(grid, loc):
     names = (("west", "east"), ("south", "north"), ("bottom", "top"))
     for axis in range(3):
         topo = grid.topology[axis]
+        dist = getattr(grid, "dist", (None, None, None))[axis]
+        if topo is FULLY_CONNECTED and dist is not None:
+            # distributed axis: defaults follow the GLOBAL topology (used
+            # by edge shards after the neighbor exchange)
+            topo = dist[2]
         for s in range(2):
             if topo is FLAT:
                 bc = None
@@ -171,6 +176,61 @@ def _axslice(data, axis, idx):
     return tuple(sl)
 
 
+def _fill_bounded_side(data, grid, loc, axis, side, bc, t=0.0):
+    """Ghost-cell fill for one bounded side (Value/Gradient/Flux/Open)."""
+    if bc is None or bc.kind in ("communication", "periodic"):
+        return data
+    N = grid.shape[axis]
+    H = grid.halo[axis]
+    S = lambda idx: _axslice(data, axis, idx)
+    ax = grid._axes[axis]
+    face_loc = loc[axis] is F
+
+    b = _bvalue(bc, grid, axis, side, loc, t)
+    if hasattr(b, "ndim") and b.ndim == 3:
+        b = jnp.squeeze(b, axis)  # boundary-plane shape matches int-indexed slices
+    kind = bc.kind
+    if not face_loc:
+        # center-located along this axis: ghost layers mirror interior layers
+        for k in range(1, H + 1):
+            if side == 0:
+                g, i = H - k, H + k - 1
+            else:
+                g, i = H + N - 1 + k, H + N - k
+            i = min(max(i, H), H + N - 1)  # clamp when halo deeper than interior
+            fi = data[S(i)]
+            if kind == "value":
+                ghost = 2.0 * b - fi
+            elif kind == "gradient":
+                dist = ax.cc[i] - ax.cc[g]
+                ghost = fi - b * dist if side == 0 else fi + b * (ax.cc[g] - ax.cc[i])
+            else:  # flux / default: zero-gradient into the halo
+                ghost = fi
+            data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
+    else:
+        # face-located along this axis: boundary face at H (left) / H+N (right)
+        bidx = H if side == 0 else H + N
+        # ghost faces: k = 1..H on the left, 1..H-1 on the right
+        rng = range(1, H + 1) if side == 0 else range(1, H)
+        lo, hi = H, H + N  # valid face range to mirror from
+        if kind in ("open", "value"):
+            data = data.at[S(bidx)].set(
+                jnp.broadcast_to(b, data[S(bidx)].shape))
+            for k in rng:
+                g = bidx - k if side == 0 else bidx + k
+                i = bidx + k if side == 0 else bidx - k
+                i = min(max(i, lo), hi)
+                ghost = 2.0 * b - data[S(i)]
+                data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
+        else:  # zero-gradient mirror about the boundary face
+            for k in rng:
+                g = bidx - k if side == 0 else bidx + k
+                i = bidx + k if side == 0 else bidx - k
+                i = min(max(i, lo), hi)
+                data = data.at[S(g)].set(data[S(i)])
+    return data
+
+
 def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
     topo = grid.topology[axis]
     if topo is FLAT:
@@ -184,52 +244,22 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
         data = data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
         return data
     if topo is FULLY_CONNECTED:
-        return data  # filled by the distributed neighbor exchange
-
-    ax = grid._axes[axis]
-    face_loc = loc[axis] is F
+        dist = getattr(grid, "dist", (None, None, None))[axis]
+        if dist is None:
+            return data  # filled by an external (multi-region) exchange
+        from ..parallel.halo_exchange import exchange_axis, select_edge
+        mesh_axis, n_shards, global_topo = dist
+        data = exchange_axis(data, axis, H, mesh_axis, n_shards,
+                             global_topo is PERIODIC)
+        if global_topo is not PERIODIC:
+            left = _fill_bounded_side(data, grid, loc, axis, 0, bc_left, t)
+            data = select_edge(data, left, mesh_axis, n_shards, 0)
+            right = _fill_bounded_side(data, grid, loc, axis, 1, bc_right, t)
+            data = select_edge(data, right, mesh_axis, n_shards, 1)
+        return data
 
     for side, bc in ((0, bc_left), (1, bc_right)):
-        if bc is None or bc.kind in ("communication",):
-            continue
-        b = _bvalue(bc, grid, axis, side, loc, t)
-        if hasattr(b, "ndim") and b.ndim == 3:
-            b = jnp.squeeze(b, axis)  # boundary-plane shape matches int-indexed slices
-        kind = bc.kind
-        if not face_loc:
-            # center-located along this axis: ghost layers mirror interior layers
-            for k in range(1, H + 1):
-                if side == 0:
-                    g, i = H - k, H + k - 1
-                else:
-                    g, i = H + N - 1 + k, H + N - k
-                fi = data[S(i)]
-                if kind == "value":
-                    ghost = 2.0 * b - fi
-                elif kind == "gradient":
-                    dist = ax.cc[i] - ax.cc[g]
-                    ghost = fi - b * dist if side == 0 else fi + b * (ax.cc[g] - ax.cc[i])
-                else:  # flux / default: zero-gradient into the halo
-                    ghost = fi
-                data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
-        else:
-            # face-located along this axis: boundary face at H (left) / H+N (right)
-            bidx = H if side == 0 else H + N
-            # ghost faces: k = 1..H on the left, 1..H-1 on the right
-            rng = range(1, H + 1) if side == 0 else range(1, H)
-            if kind in ("open", "value"):
-                data = data.at[S(bidx)].set(
-                    jnp.broadcast_to(b, data[S(bidx)].shape))
-                for k in rng:
-                    g = bidx - k if side == 0 else bidx + k
-                    i = bidx + k if side == 0 else bidx - k
-                    ghost = 2.0 * b - data[S(i)]
-                    data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
-            else:  # zero-gradient mirror about the boundary face
-                for k in rng:
-                    g = bidx - k if side == 0 else bidx + k
-                    i = bidx + k if side == 0 else bidx - k
-                    data = data.at[S(g)].set(data[S(i)])
+        data = _fill_bounded_side(data, grid, loc, axis, side, bc, t)
     return data
 
 

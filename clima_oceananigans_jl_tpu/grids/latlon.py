@@ -63,6 +63,7 @@ class LatitudeLongitudeGrid(RectilinearGrid):
             _build_axis(size[1], halo[1], topology[1], phi_i, phi_s, dtype=dtype),
             _build_axis(size[2], halo[2], topology[2], z_i, z_s, dtype=dtype),
         )
+        self.dist = (None, None, None)
         self._init_static()
         self._precompute_metrics()
 
@@ -165,12 +166,12 @@ class LatitudeLongitudeGrid(RectilinearGrid):
             + tuple(self._az_m[k] for k in mkeys_az) \
             + tuple(self._dy_m[k] for k in mkeys_dy)
         static = (tuple((a.n, a.h, a.topo, a.regular, a.extent) for a in self._axes),
-                  self.dtype, self.radius, mkeys_dx, mkeys_az, mkeys_dy)
+                  self.dtype, self.radius, mkeys_dx, mkeys_az, mkeys_dy, self.dist)
         return leaves, static
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        axes_meta, dtype, radius, mkeys_dx, mkeys_az, mkeys_dy = static
+        axes_meta, dtype, radius, mkeys_dx, mkeys_az, mkeys_dy, dist = static
         obj = object.__new__(cls)
         axes = []
         for i in range(3):
@@ -180,6 +181,7 @@ class LatitudeLongitudeGrid(RectilinearGrid):
         obj._axes = tuple(axes)
         obj.dtype = dtype
         obj.radius = radius
+        obj.dist = dist
         obj._init_static()
         i = 12
         obj._dx_m = {k: leaves[i + j] for j, k in enumerate(mkeys_dx)}

@@ -137,6 +137,8 @@ class RectilinearGrid:
             _build_axis(size[a], halo[a], topology[a], intervals[a], specs[a], dtype=dtype)
             for a in range(3)
         )
+        #: per-axis distribution metadata: None or (mesh_axis, n_shards, global_topo)
+        self.dist = (None, None, None)
         self._init_static()
 
     def _init_static(self):
@@ -149,12 +151,12 @@ class RectilinearGrid:
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
         leaves = tuple((a.cf, a.cc, a.dc, a.df) for a in self._axes)
-        static = tuple((a.n, a.h, a.topo, a.regular, a.extent) for a in self._axes) + (self.dtype, type(self))
+        static = tuple((a.n, a.h, a.topo, a.regular, a.extent) for a in self._axes) + (self.dtype, type(self), self.dist)
         return sum(leaves, ()), static
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        obj = object.__new__(static[-1])
+        obj = object.__new__(static[4])
         axes = []
         for i in range(3):
             n, h, topo, regular, extent = static[i]
@@ -162,6 +164,7 @@ class RectilinearGrid:
             axes.append(_Axis(n, h, topo, cf, cc, dc, df, regular, extent))
         obj._axes = tuple(axes)
         obj.dtype = static[3]
+        obj.dist = static[5]
         obj._init_static()
         return obj
 
@@ -268,6 +271,7 @@ class RectilinearGrid:
     def _rebuild_with_halo(self, halo):
         new = object.__new__(type(self))
         new.dtype = self.dtype
+        new.dist = self.dist
         axes = []
         for a_idx, (a, h) in enumerate(zip(self._axes, halo)):
             if a.topo is FLAT:

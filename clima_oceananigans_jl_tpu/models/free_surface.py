@@ -107,6 +107,8 @@ class ImplicitFreeSurface:
         return cls(leaves[0], *static)
 
     def resolve_method(self, grid):
+        if any(d is not None for d in getattr(grid, "dist", (None,) * 3)):
+            return "pcg"  # distributed: CG with psum'd inner products
         if self.solver_method != "auto":
             return self.solver_method
         return "fft" if (not grid.curvilinear and grid.hregular) else "pcg"
@@ -166,8 +168,11 @@ class ImplicitFreeSurface:
             out = -(Az * lap - Az * eta / (g * dt * dt))
             return out[interior]
 
+        axis_names = tuple(d[0] for d in getattr(grid, "dist", (None,) * 3)
+                           if d is not None)
         x, n_it, res2 = cg_solve(matvec, (-Az * rhs)[interior], eta0[interior],
-                                 reltol=self.tolerance, maxiter=self.maxiter)
+                                 reltol=self.tolerance, maxiter=self.maxiter,
+                                 axis_names=axis_names)
         eta = jnp.zeros_like(eta0).at[interior].set(x)
         return fill2d(eta, grid, ETA_LOC, eta_bcs)
 

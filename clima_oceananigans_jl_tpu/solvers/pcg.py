@@ -16,13 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def cg_solve(A, b, x0, M=None, reltol=1e-8, abstol=0.0, maxiter=200):
-    """Solve A x = b (A symmetric positive definite). Returns (x, iters, res²)."""
+def cg_solve(A, b, x0, M=None, reltol=1e-8, abstol=0.0, maxiter=200,
+             axis_names=()):
+    """Solve A x = b (A symmetric positive definite). Returns (x, iters, res²).
+
+    `axis_names`: mesh axes to psum the inner products over when the solve
+    runs inside a shard_map (each shard holds a block of x/b)."""
     if M is None:
         M = lambda r: r
 
     def dot(a, c):
-        return jnp.sum(a * c)
+        s = jnp.sum(a * c)
+        for name in axis_names:
+            s = jax.lax.psum(s, name)
+        return s
 
     r0 = b - A(x0)
     z0 = M(r0)

@@ -1,0 +1,166 @@
+"""Distributed (shard_map + ppermute) tests
+(model: /root/reference/test/test_distributed_models.jl — rank-id halo
+correctness over (4,1),(1,4),(2,2) meshes — and 1-vs-N-device equality;
+runs on the virtual 8-device CPU mesh, see conftest.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+import functools
+try:
+    from jax import shard_map as _shard_map
+    shard_map = functools.partial(_shard_map, check_vma=False)
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _shard_map
+    shard_map = functools.partial(_shard_map, check_rep=False)
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, FLAT, PERIODIC, RectilinearGrid, WENO5, ScalarDiffusivity, CENTER,
+)
+from clima_oceananigans_jl_tpu.boundary_conditions.bcs import fill_halos, regularize_bcs
+from clima_oceananigans_jl_tpu.parallel.decomposition import (
+    gather_array, partition_grid, scatter_array,
+)
+from clima_oceananigans_jl_tpu.parallel.distributed import DistributedModel, make_mesh
+from clima_oceananigans_jl_tpu.models.shallow_water import ShallowWaterModel
+from clima_oceananigans_jl_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+from clima_oceananigans_jl_tpu.models.free_surface import ImplicitFreeSurface
+from clima_oceananigans_jl_tpu.coriolis.coriolis import FPlane
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs8
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (1, 4), (2, 2), (2, 4)])
+@pytest.mark.parametrize("topo_x", [PERIODIC, BOUNDED])
+def test_rank_id_halo_exchange(mesh_shape, topo_x):
+    """Fill each shard's interior with its rank id, exchange, check halos
+    (the reference's core distributed test, test_distributed_models.jl:40-120)."""
+    Rx, Ry = mesh_shape
+    grid = RectilinearGrid(size=(8 * Rx, 8 * Ry, 2), extent=(1.0, 1.0, 1.0),
+                           topology=(topo_x, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    mesh = make_mesh(mesh_shape)
+    stacked, specs, local = partition_grid(grid, mesh_shape)
+    bcs = regularize_bcs(local, CENTER)
+
+    def f(g, _):
+        i, j = lax.axis_index("x"), lax.axis_index("y")
+        rank = (i * Ry + j).astype(jnp.float64)
+        data = jnp.zeros(local.total_shape, jnp.float64)
+        sl = tuple(slice(h, h + n) for h, n in zip(local.halo, local.shape))
+        data = data.at[sl].set(rank)
+        return fill_halos(data, g, CENTER, bcs)
+
+    dummy = jax.device_put(jnp.zeros((), jnp.float64))
+    out = jax.jit(shard_map(f, mesh=mesh, in_specs=(specs, P()),
+                            out_specs=P("x", "y")))(stacked, dummy)
+    out = np.asarray(out)
+    lx, ly = local.total_shape[0], local.total_shape[1]
+    Hx, Hy = local.Hx, local.Hy
+    for i in range(Rx):
+        for j in range(Ry):
+            blk = out[i * lx:(i + 1) * lx, j * ly:(j + 1) * ly]
+            rank = i * Ry + j
+            # interior is my rank
+            assert np.all(blk[Hx:-Hx or None, Hy:-Hy or None] == rank)
+            # west halo ← west neighbor's rank (wrap if periodic)
+            if Rx > 1:
+                if i > 0:
+                    assert np.all(blk[:Hx, Hy:-Hy, 0] == (i - 1) * Ry + j), (i, j)
+                elif topo_x is PERIODIC:
+                    assert np.all(blk[:Hx, Hy:-Hy, 0] == (Rx - 1) * Ry + j)
+                else:  # bounded: zero-gradient fill of own rank
+                    assert np.all(blk[:Hx, Hy:-Hy, 0] == rank)
+                if i < Rx - 1:
+                    assert np.all(blk[-Hx:, Hy:-Hy, 0] == (i + 1) * Ry + j)
+            # south halo ← south neighbor (y periodic globally)
+            if Ry > 1:
+                jm = (j - 1) % Ry
+                assert np.all(blk[Hx:-Hx, :Hy, 0] == i * Ry + jm)
+
+
+def _bickley_state(model):
+    def u0(x, y, z):
+        return 1.0 / jnp.cosh(y) ** 2 + 1e-4 * jnp.sin(2 * x) * jnp.exp(-y * y)
+    return model.initial_state(uh=u0, vh=lambda x, y, z: 1e-4 * jnp.cos(3 * x)
+                               * jnp.exp(-y * y), h=1.0)
+
+
+@needs8
+def test_distributed_shallow_water_matches_single_device():
+    grid = RectilinearGrid(size=(32, 32, 1), x=(0, 4 * np.pi), y=(-4.0, 4.0),
+                           topology=(PERIODIC, BOUNDED, FLAT), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=10.0,
+                              advection=WENO5(), coriolis=FPlane(f=1.0))
+    state0 = _bickley_state(model)
+    dt = jnp.float64(1e-3)
+
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(10):
+        s_single = step(s_single, dt)
+
+    mesh = make_mesh((2, 4))
+    dmodel = DistributedModel(model, mesh)
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(10):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    for name in ("uh", "vh", "h"):
+        a = np.asarray(model.grid.interior(s_single["solution"][name]))
+        b = np.asarray(model.grid.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-12), name
+
+
+@needs8
+def test_distributed_hydrostatic_matches_single_device():
+    grid = RectilinearGrid(size=(16, 16, 4), x=(0, 1e5), y=(0, 1e5), z=(-100.0, 0),
+                           topology=(PERIODIC, BOUNDED, BOUNDED), dtype=jnp.float64)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=ImplicitFreeSurface(solver_method="pcg",
+                                                    tolerance=1e-13, maxiter=400),
+        coriolis=FPlane(f=1e-4),
+        closure=ScalarDiffusivity(nu=10.0, nu_z=1e-3))
+    state0 = model.initial_state(
+        eta=lambda x, y: 0.01 * jnp.sin(2 * jnp.pi * x / 1e5)
+        * jnp.sin(jnp.pi * y / 1e5),
+        u=lambda x, y, z: 0.01 * jnp.cos(2 * jnp.pi * y / 1e5))
+    dt = jnp.float64(50.0)
+
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(5):
+        s_single = step(s_single, dt)
+
+    mesh = make_mesh((2, 2))
+    dmodel = DistributedModel(model, mesh)
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(5):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    for name in ("u", "v"):
+        a = np.asarray(model.grid.interior(s_single["solution"][name]))
+        b = np.asarray(model.grid.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-10), name
+    g = model.grid
+    a = np.asarray(s_single["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    b = np.asarray(s_dist["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    assert np.allclose(a, b, atol=1e-10)
+
+
+@needs8
+def test_scatter_gather_roundtrip():
+    grid = RectilinearGrid(size=(16, 8, 4), extent=(1, 1, 1),
+                           topology=(PERIODIC, PERIODIC, BOUNDED), dtype=jnp.float64)
+    arr = jax.random.normal(jax.random.PRNGKey(0), grid.total_shape)
+    arr = fill_halos(arr, grid, CENTER, regularize_bcs(grid, CENTER))
+    st = scatter_array(arr, grid, (2, 4))
+    back = gather_array(st, grid, (2, 4))
+    assert np.allclose(np.asarray(back), np.asarray(arr))
