@@ -47,6 +47,11 @@ class DistributedModel:
          self.local_grid) = partition_grid(model.grid, self.mesh_shape)
         self.local_model = copy.copy(model)
         self.local_model.grid = self.local_grid
+        if getattr(model, "pressure_solver", None) is not None:
+            # swap the serial FFT solver for the all_to_all pencil solver
+            from .distributed_fft import select_distributed_pressure_solver
+            self.local_model.pressure_solver = \
+                select_distributed_pressure_solver(self.local_grid)
 
         local_model = self.local_model
 
