@@ -28,10 +28,37 @@ from .coriolis.coriolis import (
 from .closures.scalar_diffusivity import ScalarDiffusivity, ScalarBiharmonicDiffusivity
 from .timesteppers.steppers import Clock
 from .models.shallow_water import ShallowWaterModel
+from .models.nonhydrostatic import NonhydrostaticModel
+from .models.hydrostatic import HydrostaticFreeSurfaceModel
+from .models.free_surface import (
+    ExplicitFreeSurface, ImplicitFreeSurface, SplitExplicitFreeSurface,
+)
+from .grids.latlon import LatitudeLongitudeGrid
+from .coriolis.coriolis import HydrostaticSphericalCoriolis
+from .buoyancy.buoyancy import BuoyancyTracer, SeawaterBuoyancy, LinearEquationOfState
+from .closures.scalar_diffusivity import (
+    HorizontalScalarDiffusivity, VerticalScalarDiffusivity,
+)
+from .advection.vector_invariant import VectorInvariant
 from .simulation.simulation import Simulation, Callback, NaNChecker, TimeStepWizard
 from .utils.schedules import (
     TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
     AndSchedule, OrSchedule,
 )
+from .forcings.forcing import (
+    AdvectiveForcing, Forcing, GaussianMask, LinearTarget, Relaxation,
+)
+from .stokes_drift import UniformStokesDrift
+from .abstract_operations import (
+    Average, Integral, KernelFunctionOperation, at, compute,
+    partial_x, partial_y, partial_z,
+)
+from .immersed.immersed import GridFittedBottom, GridFittedBoundary, ImmersedBoundary
+from .particles.lagrangian import LagrangianParticles
+from .output.writers import HDF5OutputWriter, NetCDFOutputWriter, WindowedTimeAverage
+from .output.checkpointer import Checkpointer
+from .output.readers import FieldDataset, FieldTimeSeries
+from .diagnostics.diagnostics import AdvectiveCFL, CFL, DiffusiveCFL, StateChecker
+from .parallel.distributed import DistributedModel, make_mesh
 
 __version__ = "0.1.0"

@@ -47,6 +47,42 @@ class Field:
     def filled(self, grid, t=0.0):
         return self.with_data(fill_halos(self.data, grid, self.loc, self.bcs, t))
 
+    # -- lazy expression building (AbstractOperations layer) -----------------
+    def _binop(self, fn, other, reverse=False):
+        from ..abstract_operations import BinaryOperation
+        return (BinaryOperation(fn, other, self) if reverse
+                else BinaryOperation(fn, self, other))
+
+    def __add__(self, other):
+        return self._binop(jnp.add, other)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._binop(jnp.subtract, other)
+
+    def __rsub__(self, other):
+        return self._binop(jnp.subtract, other, reverse=True)
+
+    def __mul__(self, other):
+        return self._binop(jnp.multiply, other)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._binop(jnp.divide, other)
+
+    def __rtruediv__(self, other):
+        return self._binop(jnp.divide, other, reverse=True)
+
+    def __pow__(self, n):
+        from ..abstract_operations import UnaryOperation
+        return UnaryOperation(lambda a: a ** n, self)
+
+    def __neg__(self):
+        from ..abstract_operations import UnaryOperation
+        return UnaryOperation(jnp.negative, self)
+
 
 def new_field(grid, loc=CENTER, bcs=None, fill=0.0):
     bcs = regularize_bcs(grid, loc, bcs)

@@ -76,6 +76,9 @@ class NonhydrostaticModel:
         self.background_fields = background_fields or {}
         self.timestepper = timestepper
         self.ab2_chi = 0.1
+        # build immersed-boundary masks on the final (halo-inflated) grid
+        if immersed_boundary is not None and hasattr(immersed_boundary, "build"):
+            immersed_boundary = immersed_boundary.build(self.grid)
         self.immersed_boundary = immersed_boundary
         self.pressure_solver = select_pressure_solver(self.grid)
         user_bcs = boundary_conditions or {}
@@ -92,10 +95,11 @@ class NonhydrostaticModel:
     def tree_flatten(self):
         leaves = (self.grid, self.buoyancy, self.coriolis, self.stokes_drift,
                   self.closure, self.bcs, self.pressure_bcs,
-                  self.pressure_solver, self.background_fields)
+                  self.pressure_solver, self.background_fields,
+                  self.immersed_boundary)
         fk = tuple(sorted(self.forcing))
         static = (self.advection, self.tracer_advection, self.tracer_names,
-                  self.timestepper, self.ab2_chi, self.immersed_boundary,
+                  self.timestepper, self.ab2_chi,
                   fk, tuple(self.forcing[k] for k in fk))
         return leaves, static
 
@@ -104,9 +108,9 @@ class NonhydrostaticModel:
         obj = object.__new__(cls)
         (obj.grid, obj.buoyancy, obj.coriolis, obj.stokes_drift, obj.closure,
          obj.bcs, obj.pressure_bcs, obj.pressure_solver,
-         obj.background_fields) = leaves
+         obj.background_fields, obj.immersed_boundary) = leaves
         (obj.advection, obj.tracer_advection, obj.tracer_names,
-         obj.timestepper, obj.ab2_chi, obj.immersed_boundary, fk, fv) = static
+         obj.timestepper, obj.ab2_chi, fk, fv) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 

@@ -1,0 +1,168 @@
+"""Schedule-driven output writers.
+
+TPU-port of /root/reference/src/OutputWriters/:
+* ``HDF5OutputWriter`` — the JLD2 analog (JLD2 is an HDF5 container), one
+  group per output time holding every output array
+  (jld2_output_writer.jl:17).
+* ``NetCDFOutputWriter`` — CF-ish dims/coords via scipy's NetCDF3 writer
+  (netcdf_output_writer.jl:12).
+* ``WindowedTimeAverage`` — accumulates Σ w·Δt between schedule firings
+  (windowed_time_average.jl:101-121), usable as any writer's output.
+
+Outputs are a dict ``name -> spec`` where spec is a Field name (resolved
+through ``model.fields(state)``), a callable ``spec(sim) -> array``, or a
+``WindowedTimeAverage``. Data is fetched as interior arrays (halos
+stripped), device→host copied once per firing.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.schedules import IterationInterval, Schedule, TimeInterval
+
+
+def _fetch(sim, name, spec):
+    """Resolve one output spec to a numpy interior array."""
+    if isinstance(spec, WindowedTimeAverage):
+        return np.asarray(spec.result())
+    if callable(spec):
+        out = spec(sim)
+    else:
+        fields = sim.model.fields(sim.state)
+        field = fields[name if spec is None else spec]
+        grid = sim.model.grid
+        data = field.data
+        sl = []
+        for a in range(3):
+            h, n = grid.halo[a], grid.shape[a]
+            sl.append(slice(h, h + n) if data.shape[a] > 1 else slice(None))
+        out = data[tuple(sl)]
+    return np.asarray(out)
+
+
+class AbstractOutputWriter:
+    def __init__(self, outputs, schedule=None, verbose=False):
+        self.outputs = {k: (None if isinstance(v, str) and v == k else v)
+                        for k, v in outputs.items()}
+        self.schedule = schedule or IterationInterval(1)
+        self.verbose = verbose
+
+    def __call__(self, sim):
+        self.write(sim)
+
+    def write(self, sim):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class HDF5OutputWriter(AbstractOutputWriter):
+    """`file[f"timeseries/{name}/{i}"]` layout mirroring JLD2OutputWriter."""
+
+    def __init__(self, outputs, filepath, schedule=None, overwrite=True,
+                 verbose=False):
+        super().__init__(outputs, schedule, verbose)
+        self.filepath = filepath
+        self._count = 0
+        if overwrite and os.path.exists(filepath):
+            os.remove(filepath)
+        os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
+
+    def write(self, sim):
+        import h5py
+        i = self._count
+        with h5py.File(self.filepath, "a") as f:
+            f[f"timeseries/t/{i}"] = sim.model_time()
+            f[f"timeseries/iteration/{i}"] = sim.model_iteration()
+            for name, spec in self.outputs.items():
+                f[f"timeseries/{name}/{i}"] = _fetch(sim, name, spec)
+        self._count += 1
+
+
+class NetCDFOutputWriter(AbstractOutputWriter):
+    """NetCDF3 (classic) writer with an unlimited time dimension."""
+
+    def __init__(self, outputs, filepath, schedule=None, overwrite=True,
+                 verbose=False):
+        super().__init__(outputs, schedule, verbose)
+        self.filepath = filepath
+        self._initialized = False
+        if overwrite and os.path.exists(filepath):
+            os.remove(filepath)
+        os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
+
+    def _init_file(self, sim, sample):
+        from scipy.io import netcdf_file
+        grid = sim.model.grid
+        f = netcdf_file(self.filepath, "w")
+        f.createDimension("time", None)
+        tvar = f.createVariable("time", "d", ("time",))
+        tvar.units = "seconds"
+        self._dims = {}
+        for name, arr in sample.items():
+            dims = ["time"]
+            for a, letter in enumerate("xyz"):
+                if arr.ndim > a:
+                    dim = f"{letter}{arr.shape[a]}"
+                    if dim not in self._dims:
+                        f.createDimension(dim, arr.shape[a])
+                        self._dims[dim] = True
+                    dims.append(dim)
+            f.createVariable(name, "d", tuple(dims))
+        self._f = f
+        self._tvar = tvar
+        self._count = 0
+        self._initialized = True
+
+    def write(self, sim):
+        sample = {name: _fetch(sim, name, spec)
+                  for name, spec in self.outputs.items()}
+        if not self._initialized:
+            self._init_file(sim, sample)
+        i = self._count
+        self._tvar[i] = sim.model_time()
+        for name, arr in sample.items():
+            self._f.variables[name][i] = arr
+        self._f.flush()
+        self._count += 1
+
+    def close(self):
+        if self._initialized:
+            self._f.close()
+
+
+class WindowedTimeAverage:
+    """Time mean of an output accumulated every model iteration between
+    firings of `schedule` (reference windowed_time_average.jl). Register
+    it in ``sim.diagnostics`` so it accumulates each step; pass the same
+    object as a writer output."""
+
+    def __init__(self, fetch, schedule=None):
+        self.fetch = fetch          # callable(sim) -> jnp/np array
+        self.schedule = IterationInterval(1)  # accumulate every iteration
+        self.output_schedule = schedule
+        self._sum = None
+        self._wsum = 0.0
+        self._last_t = None
+
+    def __call__(self, sim):
+        t = sim.model_time()
+        val = self.fetch(sim)
+        if self._last_t is None or self._sum is None:
+            self._sum = np.zeros_like(np.asarray(val))
+            self._wsum = 0.0
+        else:
+            dt = t - self._last_t
+            self._sum = self._sum + dt * np.asarray(val)
+            self._wsum += dt
+        self._last_t = t
+
+    def result(self):
+        if self._wsum == 0.0:
+            return self._sum
+        out = self._sum / self._wsum
+        self._sum = np.zeros_like(self._sum)
+        self._wsum = 0.0
+        return out

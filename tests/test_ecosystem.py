@@ -1,0 +1,203 @@
+"""Ecosystem tests: forcings, Stokes drift, lazy operations, particles,
+immersed boundaries, diagnostics (model: reference test_forcings.jl,
+test_abstract_operations.jl, test_lagrangian_particle_tracking.jl,
+test_immersed_boundary_grid.jl, test_diagnostics.jl)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, FLAT, PERIODIC, RectilinearGrid, ScalarDiffusivity, CENTER,
+    U_LOC, V_LOC, F, C, Simulation, IterationInterval,
+)
+from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+from clima_oceananigans_jl_tpu.forcings.forcing import (
+    AdvectiveForcing, Forcing, GaussianMask, LinearTarget, Relaxation,
+)
+from clima_oceananigans_jl_tpu.stokes_drift import UniformStokesDrift
+from clima_oceananigans_jl_tpu.abstract_operations import (
+    Average, Integral, KernelFunctionOperation, at, compute, partial_x,
+    partial_y, partial_z,
+)
+from clima_oceananigans_jl_tpu.particles.lagrangian import (
+    LagrangianParticles, interpolate_field,
+)
+from clima_oceananigans_jl_tpu.immersed.immersed import GridFittedBoundary, GridFittedBottom
+from clima_oceananigans_jl_tpu.diagnostics.diagnostics import (
+    AdvectiveCFL, DiffusiveCFL, StateChecker,
+)
+from clima_oceananigans_jl_tpu.fields.field import CenterField, set_field
+
+
+def small_grid():
+    return RectilinearGrid(size=(16, 16, 8), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                           z=(0, 1), topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+
+
+# -- forcings ----------------------------------------------------------------
+def test_continuous_forcing_with_parameters_and_dependencies():
+    g = small_grid()
+    model = NonhydrostaticModel(
+        g, tracers=("c",),
+        forcing={"c": Forcing(lambda x, y, z, t, c, p: -p["rate"] * c,
+                              parameters={"rate": 2.0},
+                              field_dependencies=("c",))})
+    state = model.initial_state(c=1.0)
+    step = jax.jit(model.step)
+    s = step(state, jnp.float64(1e-2))
+    c = np.asarray(model.grid.interior(s["solution"]["c"]))
+    assert np.allclose(c, 1.0 - 2.0 * 1e-2, atol=1e-6)  # Euler first step
+
+
+def test_relaxation_sponge():
+    g = small_grid()
+    relax = Relaxation(rate=1.0, mask=GaussianMask(center=1.0, width=0.1),
+                       target=LinearTarget(intercept=0.0, gradient=1.0)).for_field("c")
+    model = NonhydrostaticModel(g, tracers=("c",), forcing={"c": relax})
+    state = model.initial_state(c=0.0)
+    step = jax.jit(model.step)
+    s = step(state, jnp.float64(1e-2))
+    c = np.asarray(model.grid.interior(s["solution"]["c"]))
+    assert c.max() > 0  # pulled toward the z-gradient target near z=1
+    assert c[:, :, 0].max() < c[:, :, -1].max()
+
+
+def test_advective_forcing_sinks_tracer():
+    g = small_grid()
+    model = NonhydrostaticModel(
+        g, tracers=("c",),
+        forcing={"c": AdvectiveForcing(w=-0.1).for_field("c")})
+    state = model.initial_state(
+        c=lambda x, y, z: jnp.exp(-((z - 0.7) ** 2) / 0.01))
+    step = jax.jit(model.step)
+    z = np.asarray(g.coord(2, "c"))
+    com0 = float((np.asarray(model.grid.interior(state["solution"]["c"])).mean((0, 1)) * z).sum())
+    for _ in range(20):
+        state = step(state, jnp.float64(1e-2))
+    cmean = np.asarray(model.grid.interior(state["solution"]["c"])).mean((0, 1))
+    com = float((cmean * z).sum())
+    assert com < com0  # center of mass moved down
+
+
+# -- stokes drift -------------------------------------------------------------
+def test_stokes_drift_terms_shape_and_model_runs():
+    g = small_grid()
+    sd = UniformStokesDrift(dz_us=lambda z, t: 0.1 * jnp.exp(4 * (z - 1.0)))
+    model = NonhydrostaticModel(g, stokes_drift=sd)
+    state = model.initial_state(
+        u=lambda x, y, z: 0.01 * jnp.sin(x), w=0.0)
+    step = jax.jit(model.step)
+    for _ in range(3):
+        state = step(state, jnp.float64(1e-3))
+    assert np.all(np.isfinite(np.asarray(state["solution"]["u"])))
+
+
+# -- abstract operations -------------------------------------------------------
+def test_derivative_and_vorticity():
+    g = small_grid()
+    u = set_field(CenterField(g), g, lambda x, y, z: jnp.sin(x))
+    dudx = compute(partial_x(u.with_data(u.data)), g)
+    # ∂x sin(x) at faces ≈ cos(x_f) (2nd order)
+    xf = np.asarray(g.coord(0, "f"))
+    got = np.asarray(g.interior(dudx.data))[:, 0, 0]
+    dx = 2 * np.pi / 16
+    expected = np.cos(xf) * np.sin(dx / 2) / (dx / 2)
+    assert np.allclose(got, expected, atol=1e-6)
+    assert dudx.loc[0] is F
+
+
+def test_binary_op_auto_interpolation_and_reductions():
+    g = small_grid()
+    a = set_field(CenterField(g), g, lambda x, y, z: z)
+    b = set_field(CenterField(g), g, 2.0)
+    s = compute(a + b, g)
+    assert np.allclose(np.asarray(g.interior(s.data))[0, 0],
+                       np.asarray(g.coord(2, "c")) + 2.0)
+    avg = Average(a, dims=(0, 1, 2)).compute(g)
+    assert abs(float(avg) - 0.5) < 1e-12       # mean of z over (0,1)
+    tot = Integral(b, dims=(0, 1, 2)).compute(g)
+    assert abs(float(tot) - 2.0 * (2 * np.pi) ** 2) < 1e-8
+
+
+def test_kernel_function_operation():
+    g = small_grid()
+    op = KernelFunctionOperation(lambda grid: grid.nodes(CENTER, True)[0] * 0 + 3.0)
+    f = compute(op, g)
+    assert np.allclose(np.asarray(g.interior(f.data)), 3.0)
+
+
+# -- particles ---------------------------------------------------------------
+def test_particle_advection_uniform_flow_and_wrap():
+    g = small_grid()
+    u = jnp.ones(g.total_shape)
+    v = jnp.zeros(g.total_shape)
+    w = jnp.zeros(g.total_shape)
+    p = LagrangianParticles(x=jnp.array([0.1, 6.0]), y=jnp.array([1.0, 1.0]),
+                            z=jnp.array([0.5, 0.5]))
+    for _ in range(10):
+        p = p.step(g, dict(u=u, v=v, w=w), 0.1)
+    assert np.allclose(np.asarray(p.x), np.mod(np.array([0.1, 6.0]) + 1.0, 2 * np.pi),
+                       atol=1e-6)
+
+
+def test_particle_wall_bounce_and_tracking():
+    g = small_grid()
+    u = jnp.zeros(g.total_shape)
+    w = jnp.full(g.total_shape, 0.5)
+    cf = set_field(CenterField(g), g, lambda x, y, z: z)
+    p = LagrangianParticles(x=jnp.array([1.0]), y=jnp.array([1.0]),
+                            z=jnp.array([0.9]), tracked_fields=("c",))
+    p = p.step(g, dict(u=u, v=u, w=w), 0.5, fields=dict(c=cf.data))
+    assert float(p.z[0]) <= 1.0  # reflected off the top wall
+    assert abs(float(p.properties["c"][0]) - float(p.z[0])) < 0.1
+
+
+def test_trilinear_interpolation_exact_for_linear_field():
+    g = small_grid()
+    c = set_field(CenterField(g), g, lambda x, y, z: 2 * x + 3 * y - z)
+    xs = jnp.array([1.0, 2.5]); ys = jnp.array([0.7, 3.3]); zs = jnp.array([0.4, 0.6])
+    got = interpolate_field(c.data, g, CENTER, xs, ys, zs)
+    assert np.allclose(np.asarray(got), np.asarray(2 * xs + 3 * ys - zs), atol=1e-10)
+
+
+# -- immersed boundaries -------------------------------------------------------
+def test_immersed_boundary_masks_velocity_and_runs():
+    g = small_grid()
+    ib = GridFittedBottom(lambda x, y: 0.25 + 0 * x)
+    model = NonhydrostaticModel(g, immersed_boundary=ib, tracers=("c",))
+    state = model.initial_state(u=lambda x, y, z: 0.1 * jnp.cos(x), c=1.0)
+    step = jax.jit(model.step)
+    for _ in range(5):
+        state = step(state, jnp.float64(1e-3))
+    u = np.asarray(state["solution"]["u"])
+    z = np.asarray(model.grid.coord(2, "c", with_halo=True))
+    solid = z < 0.25
+    assert np.abs(u[:, :, solid]).max() == 0.0
+    assert np.all(np.isfinite(u))
+
+
+def test_immersed_mask_shapes():
+    g = small_grid()
+    ib = GridFittedBoundary(lambda x, y, z: (x - np.pi) ** 2 + (y - np.pi) ** 2 < 1.0).build(g)
+    assert ib.solid_ccc.shape == g.total_shape
+    # face mask is a superset of the center mask
+    assert bool(jnp.all(ib.solid_fcc | ~ib.solid_ccc))
+
+
+# -- diagnostics ---------------------------------------------------------------
+def test_cfl_diagnostics_and_state_checker(caplog):
+    g = small_grid()
+    model = NonhydrostaticModel(g, closure=ScalarDiffusivity(nu=1e-3))
+    state = model.initial_state(u=lambda x, y, z: 1.0 + 0 * x)
+    sim = Simulation(model, state=state, dt=0.01, stop_iteration=1)
+    cfl = AdvectiveCFL()(sim)
+    dx = 2 * np.pi / 16
+    assert abs(cfl - 0.01 / dx * 1.0) / cfl < 0.2
+    dcfl = DiffusiveCFL()(sim)
+    assert dcfl > 0
+    import logging
+    with caplog.at_level(logging.INFO, logger="clima_oceananigans_jl_tpu"):
+        StateChecker()(sim)
+    assert any("state" in r.message for r in caplog.records)

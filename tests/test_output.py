@@ -1,0 +1,108 @@
+"""Output writers / checkpointer / readers tests
+(model: /root/reference/test/test_output_writers.jl, test_output_readers.jl,
+test_checkpointer.jl — incl. the bit-identical-continuation test)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clima_oceananigans_jl_tpu import (
+    FLAT, PERIODIC, RectilinearGrid, Simulation, IterationInterval, WENO5,
+)
+from clima_oceananigans_jl_tpu.models.shallow_water import ShallowWaterModel
+from clima_oceananigans_jl_tpu.output.writers import (
+    HDF5OutputWriter, NetCDFOutputWriter, WindowedTimeAverage,
+)
+from clima_oceananigans_jl_tpu.output.checkpointer import Checkpointer
+from clima_oceananigans_jl_tpu.output.readers import FieldDataset, FieldTimeSeries
+
+
+def _sim(tmp_path, stop=6):
+    grid = RectilinearGrid(size=(16, 16, 1), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                           topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=10.0,
+                              advection=WENO5())
+    state = model.initial_state(
+        uh=lambda x, y, z: 0.1 * jnp.sin(x), h=1.0)
+    return Simulation(model, state=state, dt=1e-3, stop_iteration=stop)
+
+
+def test_hdf5_writer_roundtrip(tmp_path):
+    sim = _sim(tmp_path)
+    path = str(tmp_path / "out.h5")
+    sim.output_writers["fields"] = HDF5OutputWriter(
+        dict(h="h", uh="uh"), path, schedule=IterationInterval(2))
+    sim.run()
+    ts = FieldTimeSeries(path, "h")
+    assert len(ts) >= 3                 # it 0 (initial fire), 2, 4, 6
+    assert ts[0].shape == (16, 16, 1)
+    ds = FieldDataset(path)
+    assert set(ds.keys()) == {"h", "uh"}
+    assert np.allclose(ds["h"][0], 1.0)
+    # disk backend matches memory backend
+    ts_disk = FieldTimeSeries(path, "uh", backend="disk")
+    assert np.allclose(ts_disk[1], ts[1].shape and FieldTimeSeries(path, "uh")[1])
+
+
+def test_netcdf_writer(tmp_path):
+    sim = _sim(tmp_path)
+    path = str(tmp_path / "out.nc")
+    w = NetCDFOutputWriter(dict(h="h"), path, schedule=IterationInterval(3))
+    sim.output_writers["nc"] = w
+    sim.run()
+    w.close()
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r") as f:
+        assert "h" in f.variables
+        assert f.variables["h"].shape[0] >= 2
+        assert np.allclose(f.variables["h"][0], 1.0)
+
+
+def test_windowed_time_average(tmp_path):
+    sim = _sim(tmp_path, stop=10)
+    wta = WindowedTimeAverage(
+        lambda s: s.model.grid.interior(s.state["solution"]["h"]))
+    sim.diagnostics["h_avg"] = wta
+    path = str(tmp_path / "avg.h5")
+    sim.output_writers["avg"] = HDF5OutputWriter(
+        dict(h_avg=wta), path, schedule=IterationInterval(5))
+    sim.run()
+    ts = FieldTimeSeries(path, "h_avg")
+    assert np.all(np.isfinite(ts.data))
+
+
+def test_checkpoint_exact_continuation(tmp_path):
+    """Run 10 steps ≡ run 5 + checkpoint + restore + 5 (bit identical —
+    the reference's test_checkpointer.jl invariant)."""
+    sim_a = _sim(tmp_path, stop=10)
+    sim_a.run()
+    ref = {k: np.asarray(v) for k, v in sim_a.state["solution"].items()}
+
+    sim_b = _sim(tmp_path, stop=5)
+    ckp = Checkpointer(schedule=IterationInterval(5), dir=str(tmp_path / "ckp"))
+    sim_b.output_writers["checkpointer"] = ckp
+    sim_b.run()
+
+    sim_c = _sim(tmp_path, stop=10)
+    sim_c.output_writers["checkpointer"] = ckp
+    sim_c.run(pickup=True)
+    assert sim_c.model_iteration() == 10
+    for k, v in sim_c.state["solution"].items():
+        assert np.array_equal(np.asarray(v), ref[k]), k  # bit identical
+
+
+def test_pickup_by_iteration_and_path(tmp_path):
+    sim = _sim(tmp_path, stop=4)
+    ckp = Checkpointer(schedule=IterationInterval(2), dir=str(tmp_path / "c2"),
+                       keep=10)
+    sim.output_writers["checkpointer"] = ckp
+    sim.run()
+    sim2 = _sim(tmp_path, stop=10)
+    sim2.output_writers["checkpointer"] = ckp
+    from clima_oceananigans_jl_tpu.output.checkpointer import pickup_latest
+    assert pickup_latest(sim2, 2)
+    assert sim2.model_iteration() == 2
+    assert pickup_latest(sim2, ckp.checkpoint_path(4))
+    assert sim2.model_iteration() == 4
