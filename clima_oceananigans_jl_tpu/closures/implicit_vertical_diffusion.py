@@ -93,16 +93,40 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt):
     return data.at[:, :, Hz + 1: Hz + Nz].set(sol)
 
 
-def implicit_step_fields(solution, grid, locs, closure, dt):
+def _vertical_coefficient(closure, name, diffusivities):
+    """κz for one field from a closure (scalar config or per-step field)."""
+    if name in ("u", "v", "w"):
+        if hasattr(closure, "vertical_nu"):
+            return closure.vertical_nu(diffusivities)
+        return closure.nu_z if closure.nu_z is not None else closure.nu
+    if hasattr(closure, "vertical_kappa"):
+        return closure.vertical_kappa(name, diffusivities)
+    return closure.kappa_z_for(name)
+
+
+def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None):
     """Apply the implicit vertical solve to every prognostic field
-    (reference implicit_step!, quasi_adams_bashforth_2.jl:137-144)."""
-    if closure is None or not getattr(closure, "vertically_implicit", False):
+    (reference implicit_step!, quasi_adams_bashforth_2.jl:137-144).
+    Closure tuples apply sequentially (operator splitting)."""
+    if closure is None:
         return solution
+    if isinstance(closure, (tuple, list)):
+        diffusivities = diffusivities or (None,) * len(closure)
+        for c, d in zip(closure, diffusivities):
+            solution = implicit_step_fields(solution, grid, locs, c, dt, d)
+        return solution
+    if not getattr(closure, "vertically_implicit", False):
+        return solution
+    from ..ops import stencil as _st
     out = {}
     for name, data in solution.items():
-        if name in ("u", "v", "w"):
-            kz = closure.nu_z if closure.nu_z is not None else closure.nu
-        else:
-            kz = closure.kappa_z_for(name)
+        kz = _vertical_coefficient(closure, name, diffusivities)
+        if hasattr(kz, "ndim") and kz.ndim == 3:
+            # (C,C,F)-located diffusivity fields: move to the field's own
+            # horizontal staggering
+            if locs[name][0] is not C:
+                kz = _st.ixf(kz)
+            if locs[name][1] is not C:
+                kz = _st.iyf(kz)
         out[name] = implicit_vertical_diffusion_step(data, grid, locs[name], kz, dt)
     return out

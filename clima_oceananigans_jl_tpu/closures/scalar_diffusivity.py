@@ -93,16 +93,35 @@ def VerticalScalarDiffusivity(nu=0.0, kappa=0.0,
                              time_discretization=time_discretization)
 
 
+def _kappa_at_flux_loc(kappa, loc, axis, from_loc=None):
+    """Interpolate a 3D κ array from `from_loc` (default centers) onto the
+    flux location for `axis`. Scalars pass through."""
+    from ..utils.location import CENTER as _CTR
+    if not (hasattr(kappa, "ndim") and kappa.ndim == 3):
+        return kappa
+    target = op.flip_loc(loc, axis)
+    return op.interp_to(kappa, from_loc or _CTR, target)
+
+
 def div_kappa_grad(c, grid, loc, kappa, kappa_z=None, horizontal_only=False,
-                   vertical=True):
-    """∇·(κ∇c) at `loc` in FV form; κ may differ horizontally/vertically."""
+                   vertical=True, kappa_z_at_faces=False):
+    """∇·(κ∇c) at `loc` in FV form; κ may be a scalar, horizontally/
+    vertically split, or a 3D eddy-diffusivity array (center-located by
+    default, interpolated onto flux faces; set `kappa_z_at_faces` when
+    the vertical diffusivity lives at (C,C,F) like the boundary-layer
+    schemes produce)."""
+    from ..utils.location import C as _C, F as _F
     kz = kappa if kappa_z is None else kappa_z
-    fx = grid.Ax(op.flip_loc(loc, 0)) * (kappa * op.dd(c, grid, 0, loc))
-    fy = grid.Ay(op.flip_loc(loc, 1)) * (kappa * op.dd(c, grid, 1, loc))
+    kx = _kappa_at_flux_loc(kappa, loc, 0)
+    ky = _kappa_at_flux_loc(kappa, loc, 1)
+    fx = grid.Ax(op.flip_loc(loc, 0)) * (kx * op.dd(c, grid, 0, loc))
+    fy = grid.Ay(op.flip_loc(loc, 1)) * (ky * op.dd(c, grid, 1, loc))
     out = (op.delta(fx, 0, op.flip_loc(loc, 0))
            + op.delta(fy, 1, op.flip_loc(loc, 1)))
     if vertical and not horizontal_only:
-        fz = grid.Az(op.flip_loc(loc, 2)) * (kz * op.dd(c, grid, 2, loc))
+        kz_from = (_C, _C, _F) if kappa_z_at_faces else None
+        kzf = _kappa_at_flux_loc(kz, loc, 2, from_loc=kz_from)
+        fz = grid.Az(op.flip_loc(loc, 2)) * (kzf * op.dd(c, grid, 2, loc))
         out = out + op.delta(fz, 2, op.flip_loc(loc, 2))
     return out / grid.V(loc)
 
@@ -114,26 +133,68 @@ def biharmonic(c, grid, loc, kappa):
     return -div_kappa_grad(lap, grid, loc, kappa)
 
 
-def momentum_diffusion(u, grid, u_loc, closure):
+def compute_closure_diffusivities(closure, grid, fields, buoyancy, tracers):
+    """The reference's ``calculate_diffusivities!`` pass: one entry per
+    closure (tuples supported, reference closure_tuples.jl)."""
+    if closure is None:
+        return None
+    if isinstance(closure, (tuple, list)):
+        return tuple(compute_closure_diffusivities(c, grid, fields, buoyancy,
+                                                   tracers) for c in closure)
+    if hasattr(closure, "compute_diffusivities"):
+        return closure.compute_diffusivities(grid, fields, buoyancy, tracers)
+    return None
+
+
+def momentum_diffusion(u, grid, u_loc, closure, diffusivities=None):
     """∂ⱼτᵢⱼ contribution −∇·(ν∇u) for one velocity component (explicit part).
 
     Returns the *tendency* contribution +∇·(ν∇u) (reference tendencies
     subtract ∂ⱼτᵢⱼ where τ = −ν∇u)."""
     if closure is None:
         return jnp.zeros_like(u)
+    if isinstance(closure, (tuple, list)):
+        out = jnp.zeros_like(u)
+        diffusivities = diffusivities or (None,) * len(closure)
+        for c, d in zip(closure, diffusivities):
+            out = out + momentum_diffusion(u, grid, u_loc, c, d)
+        return out
     if isinstance(closure, ScalarBiharmonicDiffusivity):
         return biharmonic(u, grid, u_loc, closure.nu)
-    nu_z = closure.nu_z if closure.nu_z is not None else closure.nu
-    return div_kappa_grad(u, grid, u_loc, closure.nu, nu_z,
-                          vertical=not closure.vertically_implicit)
+    if isinstance(closure, ScalarDiffusivity):
+        nu_z = closure.nu_z if closure.nu_z is not None else closure.nu
+        return div_kappa_grad(u, grid, u_loc, closure.nu, nu_z,
+                              vertical=not closure.vertically_implicit)
+    # diffusivity-field closures (LES / vertical-mixing schemes)
+    nu = closure.nu(diffusivities)
+    nu_z = (closure.vertical_nu(diffusivities)
+            if hasattr(closure, "vertical_nu") else nu)
+    return div_kappa_grad(u, grid, u_loc, nu, nu_z,
+                          vertical=not closure.vertically_implicit,
+                          kappa_z_at_faces=hasattr(closure, "vertical_nu"))
 
 
-def tracer_diffusion(c, grid, name, closure):
+def tracer_diffusion(c, grid, name, closure, diffusivities=None):
     """∇·(κ∇c) tendency contribution for a tracer (explicit part)."""
     if closure is None:
         return jnp.zeros_like(c)
+    if isinstance(closure, (tuple, list)):
+        out = jnp.zeros_like(c)
+        diffusivities = diffusivities or (None,) * len(closure)
+        for cl, d in zip(closure, diffusivities):
+            out = out + tracer_diffusion(c, grid, name, cl, d)
+        return out
     if isinstance(closure, ScalarBiharmonicDiffusivity):
         return biharmonic(c, grid, CENTER, closure.kappa_for(name))
-    return div_kappa_grad(c, grid, CENTER, closure.kappa_for(name),
-                          closure.kappa_z_for(name),
-                          vertical=not closure.vertically_implicit)
+    if isinstance(closure, ScalarDiffusivity):
+        return div_kappa_grad(c, grid, CENTER, closure.kappa_for(name),
+                              closure.kappa_z_for(name),
+                              vertical=not closure.vertically_implicit)
+    if hasattr(closure, "tracer_tendency"):  # GM/Redi-style rotated fluxes
+        return closure.tracer_tendency(c, grid, name, diffusivities)
+    kap = closure.kappa_for_tracer(name, diffusivities)
+    kap_z = (closure.vertical_kappa(name, diffusivities)
+             if hasattr(closure, "vertical_kappa") else kap)
+    return div_kappa_grad(c, grid, CENTER, kap, kap_z,
+                          vertical=not closure.vertically_implicit,
+                          kappa_z_at_faces=hasattr(closure, "vertical_kappa"))

@@ -28,7 +28,8 @@ from ..boundary_conditions.bcs import (FieldBCs, FluxBC, OpenBC, apply_flux_bcs,
                                        fill_halos, regularize_bcs)
 from ..buoyancy.buoyancy import hydrostatic_pressure_anomaly
 from ..closures.implicit_vertical_diffusion import implicit_step_fields
-from ..closures.scalar_diffusivity import momentum_diffusion, tracer_diffusion
+from ..closures.scalar_diffusivity import (compute_closure_diffusivities,
+                                           momentum_diffusion, tracer_diffusion)
 from ..fields.field import Field
 from ..grids.topology import BOUNDED, FLAT
 from ..ops import operators as op
@@ -58,6 +59,10 @@ class HydrostaticFreeSurfaceModel:
         names = list(tracers) if tracers is not None else []
         if buoyancy is not None:
             for t in buoyancy.required_tracers:
+                if t not in names:
+                    names.append(t)
+        for cl in (closure if isinstance(closure, (tuple, list)) else (closure,)):
+            for t in getattr(cl, "required_tracers", ()):
                 if t not in names:
                     names.append(t)
         self.tracer_names = tuple(names)
@@ -170,6 +175,11 @@ class HydrostaticFreeSurfaceModel:
         eta = fill2d(state["eta"], self.grid, ETA_LOC, self.eta_bcs, t)
         state = dict(state, solution=sol, eta=eta)
         state = dict(state, w=self.compute_w(sol))
+        tr = {n: sol[n] for n in self.tracer_names}
+        diff = compute_closure_diffusivities(
+            self.closure, self.grid, dict(sol, w=state["w"]), self.buoyancy, tr)
+        if diff is not None:
+            state = dict(state, diffusivities=diff)
         if self.buoyancy is not None:
             tr = {n: sol[n] for n in self.tracer_names}
             ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr)
@@ -211,9 +221,10 @@ class HydrostaticFreeSurfaceModel:
             Gu = Gu - st.dxf(ph) / grid.dx(U_LOC)
             Gv = Gv - st.dyf(ph) / grid.dy(V_LOC)
 
+        diff = state.get("diffusivities")
         if self.closure is not None:
-            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure)
-            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure)
+            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure, diff)
+            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure, diff)
 
         G = dict(u=Gu, v=Gv)
 
@@ -223,7 +234,14 @@ class HydrostaticFreeSurfaceModel:
             Gc = (-div_Uc(grid, ts, u, v, w, c) if ts is not None
                   else jnp.zeros_like(c))
             if self.closure is not None:
-                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+                Gc = Gc + tracer_diffusion(c, grid, name, self.closure, diff)
+                closures = (self.closure if isinstance(self.closure, (tuple, list))
+                            else (self.closure,))
+                diffs = diff if isinstance(self.closure, (tuple, list)) else (diff,)
+                for cl, d in zip(closures, diffs or (None,) * len(closures)):
+                    if name == "e" and hasattr(cl, "tke_tendency"):
+                        trd = {n: sol[n] for n in self.tracer_names}
+                        Gc = Gc + cl.tke_tendency(grid, dict(sol, w=w), d, trd)
             G[name] = Gc
 
         fields = dict(sol, w=w, eta=state["eta"])
@@ -254,7 +272,8 @@ class HydrostaticFreeSurfaceModel:
             sol_all = dict(state["solution"], eta=state["eta"])
             stepped = ab2_substep(sol_all, G, G_prev, dt, self.ab2_chi, euler)
             eta = stepped.pop("eta")
-            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
+                                       dt, state.get("diffusivities"))
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
         elif isinstance(fs, SplitExplicitFreeSurface):
@@ -267,7 +286,8 @@ class HydrostaticFreeSurfaceModel:
             _, GV = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
                                     c1 * G["v"] - c2 * G_prev["v"])
             stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
-            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
+                                       dt, state.get("diffusivities"))
             eta, U_av, V_av = fs.substep_eta(grid, self.eta_bcs, state["eta"],
                                              GU, GV, U0, V0, dt)
             u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av)
@@ -276,7 +296,8 @@ class HydrostaticFreeSurfaceModel:
 
         else:  # ImplicitFreeSurface
             stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
-            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure, dt)
+            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
+                                       dt, state.get("diffusivities"))
             sol = self.fill_all_halos(sol, clock0.time)
             Qu, Qv = barotropic_mode(grid, sol["u"], sol["v"])
             g_const = fs.gravitational_acceleration

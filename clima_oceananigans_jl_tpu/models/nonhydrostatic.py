@@ -24,7 +24,8 @@ from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
 from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
 from ..boundary_conditions.bcs import apply_flux_bcs, fill_halos, regularize_bcs
 from ..buoyancy.buoyancy import buoyancy_z_term, hydrostatic_pressure_anomaly
-from ..closures.scalar_diffusivity import (momentum_diffusion, tracer_diffusion)
+from ..closures.scalar_diffusivity import (compute_closure_diffusivities,
+                                           momentum_diffusion, tracer_diffusion)
 from ..closures.implicit_vertical_diffusion import implicit_step_fields
 from ..fields.field import Field
 from ..grids.topology import FLAT
@@ -62,6 +63,10 @@ class NonhydrostaticModel:
         names = list(tracers) if tracers is not None else []
         if buoyancy is not None:
             for t in buoyancy.required_tracers:
+                if t not in names:
+                    names.append(t)
+        for cl in (closure if isinstance(closure, (tuple, list)) else (closure,)):
+            for t in getattr(cl, "required_tracers", ()):
                 if t not in names:
                     names.append(t)
         self.tracer_names = tuple(names)
@@ -152,8 +157,13 @@ class NonhydrostaticModel:
         state = dict(state, solution=sol)
         if self.immersed_boundary is not None:
             state = self.immersed_boundary.mask_state(self, state)
+            sol = state["solution"]
+        tr = {n: sol[n] for n in self.tracer_names}
+        diff = compute_closure_diffusivities(self.closure, self.grid, sol,
+                                             self.buoyancy, tr)
+        if diff is not None:
+            state = dict(state, diffusivities=diff)
         if self.buoyancy is not None:
-            tr = {n: sol[n] for n in self.tracer_names}
             ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr)
             ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
             state = dict(state, pHY=ph)
@@ -204,10 +214,11 @@ class NonhydrostaticModel:
             Gv = Gv + self.stokes_drift.dt_vs(grid, clock.time)
             Gw = Gw + self.stokes_drift.dt_ws(grid, clock.time)
 
+        diff = state.get("diffusivities")
         if self.closure is not None:
-            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure)
-            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure)
-            Gw = Gw + momentum_diffusion(w, grid, W_LOC, self.closure)
+            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure, diff)
+            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure, diff)
+            Gw = Gw + momentum_diffusion(w, grid, W_LOC, self.closure, diff)
 
         G.update(u=Gu, v=Gv, w=Gw)
 
@@ -221,7 +232,14 @@ class NonhydrostaticModel:
                                  bg.get("v", jnp.zeros_like(v)),
                                  bg.get("w", jnp.zeros_like(w)), c)
             if self.closure is not None:
-                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+                Gc = Gc + tracer_diffusion(c, grid, name, self.closure, diff)
+                closures = (self.closure if isinstance(self.closure, (tuple, list))
+                            else (self.closure,))
+                diffs = diff if isinstance(self.closure, (tuple, list)) else (diff,)
+                for cl, d in zip(closures, diffs or (None,) * len(closures)):
+                    if name == "e" and hasattr(cl, "tke_tendency"):
+                        tr = {n: sol[n] for n in self.tracer_names}
+                        Gc = Gc + cl.tke_tendency(grid, sol, d, tr)
             G[name] = Gc
 
         fields = dict(sol)
@@ -269,7 +287,8 @@ class NonhydrostaticModel:
         G = self.tendencies(state)
         sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                           self.ab2_chi, euler)
-        sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure, dt)
+        sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure,
+                                   dt, state.get("diffusivities"))
         state = dict(state, solution=sol)
         state = self.project_velocities(state, dt)
         clock = clock0.tick(dt)
@@ -285,7 +304,8 @@ class NonhydrostaticModel:
             sol = rk3_substep(state["solution"], G, G_prev, dt, gamma, zeta)
             stage_dt = (gamma + zeta) * dt
             sol = implicit_step_fields(sol, self.grid, self._locs(),
-                                       self.closure, stage_dt)
+                                       self.closure, stage_dt,
+                                       state.get("diffusivities"))
             state = dict(state, solution=sol)
             state = self.project_velocities(state, stage_dt)
             clock = state["clock"].tick(stage_dt, stage=True)

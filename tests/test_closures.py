@@ -1,0 +1,160 @@
+"""Turbulence-closure tests (model: /root/reference/test/
+test_turbulence_closures.jl 'does it run' matrix + physics sanity)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, FLAT, PERIODIC, RectilinearGrid, ScalarDiffusivity,
+)
+from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+from clima_oceananigans_jl_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+from clima_oceananigans_jl_tpu.models.free_surface import ImplicitFreeSurface
+from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+from clima_oceananigans_jl_tpu.closures.eddy_viscosity import (
+    AnisotropicMinimumDissipation, SmagorinskyLilly, TwoDimensionalLeith,
+)
+from clima_oceananigans_jl_tpu.closures.vertical_mixing import (
+    CATKEVerticalDiffusivity, ConvectiveAdjustmentVerticalDiffusivity,
+    RiBasedVerticalDiffusivity,
+)
+from clima_oceananigans_jl_tpu.closures.isopycnal import (
+    FluxTapering, IsopycnalSkewSymmetricDiffusivity,
+)
+
+
+def box_grid(n=16):
+    return RectilinearGrid(size=(n, n, n), extent=(1.0, 1.0, 1.0),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("closure", [
+    SmagorinskyLilly(),
+    AnisotropicMinimumDissipation(),
+    TwoDimensionalLeith(),
+    (SmagorinskyLilly(), ScalarDiffusivity(nu=1e-4, kappa=1e-4)),
+])
+def test_les_closures_run_nonhydrostatic(closure):
+    """'Does it run' matrix over closures (reference test_time_stepping.jl)."""
+    g = box_grid()
+    model = NonhydrostaticModel(g, closure=closure, buoyancy=BuoyancyTracer(),
+                                timestepper="RungeKutta3")
+    key = jax.random.PRNGKey(0)
+    state = model.initial_state(
+        u=1e-2 * jax.random.normal(key, g.shape, jnp.float64),
+        b=lambda x, y, z: 1e-4 * z)
+    step = jax.jit(model.step)
+    for _ in range(3):
+        state = step(state, jnp.float64(1e-3))
+    assert np.all(np.isfinite(np.asarray(state["solution"]["u"])))
+
+
+def test_smagorinsky_viscosity_positive_under_shear():
+    g = box_grid()
+    closure = SmagorinskyLilly()
+    u = jnp.broadcast_to(g.coord(2, "c", with_halo=True).reshape(1, 1, -1),
+                         g.total_shape)  # du/dz = 1
+    fields = dict(u=u, v=jnp.zeros(g.total_shape), w=jnp.zeros(g.total_shape))
+    d = closure.compute_diffusivities(g, fields, None, {})
+    nu_e = np.asarray(g.interior(d["nu_e"]))
+    # ν = (CΔ)²|S|, |S| = √(2·2·(1/2)²) = 1 for pure du/dz = 1 shear
+    delta2 = (1 / 16) ** 2
+    assert np.allclose(nu_e[:, :, 5], 0.16 ** 2 * delta2 * 1.0, rtol=1e-6)
+
+
+def test_amd_zero_for_rigid_motion():
+    g = box_grid()
+    closure = AnisotropicMinimumDissipation()
+    fields = dict(u=jnp.full(g.total_shape, 0.3),
+                  v=jnp.full(g.total_shape, -0.2),
+                  w=jnp.zeros(g.total_shape))
+    d = closure.compute_diffusivities(g, fields, None, {})
+    assert float(jnp.abs(g.interior(d["nu_e"])).max()) < 1e-12
+
+
+def column_model(closure, nz=32):
+    g = RectilinearGrid(size=(1, 1, nz), x=(0, 1), y=(0, 1), z=(-100.0, 0),
+                        topology=(FLAT, FLAT, BOUNDED), dtype=jnp.float64)
+    return HydrostaticFreeSurfaceModel(
+        grid=g, free_surface=ImplicitFreeSurface(solver_method="pcg"),
+        momentum_advection=None, tracer_advection=None,
+        buoyancy=BuoyancyTracer(), closure=closure)
+
+
+def test_convective_adjustment_removes_instability():
+    model = column_model(ConvectiveAdjustmentVerticalDiffusivity(
+        convective_kappa_z=1.0, background_kappa_z=0.0))
+    # unstable: buoyancy increasing downward
+    state = model.initial_state(b=lambda x, y, z: -1e-4 * (z + 100) / 100)
+    step = jax.jit(model.step)
+    for _ in range(50):
+        state = step(state, jnp.float64(600.0))
+    b = np.asarray(model.grid.interior(state["solution"]["b"]))[0, 0]
+    # mixed: stratification removed (b nearly uniform)
+    assert b.std() < 0.05 * 1e-4
+    # stable column is untouched (kappa_background = 0)
+    state2 = model.initial_state(b=lambda x, y, z: 1e-4 * (z + 100) / 100)
+    s2 = step(state2, jnp.float64(600.0))
+    b2 = np.asarray(model.grid.interior(s2["solution"]["b"]))[0, 0]
+    b0 = np.asarray(model.grid.interior(state2["solution"]["b"]))[0, 0]
+    assert np.allclose(b2, b0, atol=1e-12)
+
+
+def test_ri_based_mixes_low_richardson():
+    closure = RiBasedVerticalDiffusivity()
+    g = RectilinearGrid(size=(1, 1, 16), x=(0, 1), y=(0, 1), z=(-100.0, 0),
+                        topology=(FLAT, FLAT, BOUNDED), dtype=jnp.float64)
+    b = jnp.broadcast_to(1e-6 * g.coord(2, "c", with_halo=True).reshape(1, 1, -1),
+                         g.total_shape)
+    u_shear = jnp.broadcast_to(0.5 * g.coord(2, "c", with_halo=True).reshape(1, 1, -1),
+                               g.total_shape)
+    d_shear = closure.compute_diffusivities(
+        g, dict(u=u_shear, v=jnp.zeros_like(u_shear)), BuoyancyTracer(), {"b": b})
+    d_calm = closure.compute_diffusivities(
+        g, dict(u=jnp.zeros_like(u_shear), v=jnp.zeros_like(u_shear)),
+        BuoyancyTracer(), {"b": b})
+    assert float(jnp.max(d_shear["kappa_z"])) > 10 * float(jnp.min(d_calm["kappa_z"]))
+
+
+def test_catke_adds_tke_tracer_and_grows_under_shear():
+    closure = CATKEVerticalDiffusivity()
+    model = column_model(closure)
+    assert "e" in model.tracer_names
+    state = model.initial_state(
+        b=lambda x, y, z: 1e-6 * (z + 100) / 100,
+        u=lambda x, y, z: 0.2 * (z + 100) / 100,
+        e=1e-7)
+    e0 = float(jnp.sum(model.grid.interior(state["solution"]["e"])))
+    step = jax.jit(model.step)
+    for _ in range(20):
+        state = step(state, jnp.float64(60.0))
+    e = np.asarray(model.grid.interior(state["solution"]["e"]))
+    assert np.all(np.isfinite(e))
+    assert float(e.sum()) > e0  # shear production injected TKE
+
+
+def test_gm_redi_flattens_isopycnals():
+    """A lateral buoyancy gradient drives GM overturning: tracer variance
+    along z should grow as isopycnals slump (eddy transport active)."""
+    g = RectilinearGrid(size=(32, 1, 16), x=(0, 1e6), y=(0, 1), z=(-1000.0, 0),
+                        topology=(PERIODIC, FLAT, BOUNDED), dtype=jnp.float64)
+    closure = IsopycnalSkewSymmetricDiffusivity(
+        kappa_skew=1000.0, kappa_symmetric=1000.0,
+        slope_limiter=FluxTapering(1e-2))
+    model = HydrostaticFreeSurfaceModel(
+        grid=g, free_surface=ImplicitFreeSurface(solver_method="pcg"),
+        momentum_advection=None, tracer_advection=None,
+        buoyancy=BuoyancyTracer(), closure=closure, tracers=("c",))
+    state = model.initial_state(
+        b=lambda x, y, z: 1e-5 * z / 1000 + 1e-6 * jnp.sin(2 * jnp.pi * x / 1e6),
+        c=lambda x, y, z: jnp.sin(2 * jnp.pi * x / 1e6))
+    step = jax.jit(model.step)
+    for _ in range(10):
+        state = step(state, jnp.float64(3600.0))
+    c = np.asarray(model.grid.interior(state["solution"]["c"]))
+    assert np.all(np.isfinite(c))
+    # along-isopycnal stirring created vertical structure in c
+    assert c.std(axis=2).mean() > 0
+    assert np.abs(c).max() < 2.0  # tapering keeps it bounded
