@@ -3,7 +3,9 @@
 Mirrors the reference's flagship benchmark (Oceananigans
 benchmark/benchmark_nonhydrostatic_models.jl; published numbers in
 docs/src/appendix/benchmarks.md:120-142 — V100 FP64 56.4 ms/step at 256^3
-(~298 M pts/s), FP32 38.8 ms (~432 M pts/s)). We run FP32 and compare
+(~298 M pts/s), FP32 38.8 ms (~432 M pts/s)). Same configuration: WENO5
+momentum advection, one active tracer, quasi-AB2 time stepping (one
+tendency evaluation + one FFT projection per step), FP32; compared
 against the reference's FP32 anchor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -23,7 +25,7 @@ from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
 REFERENCE_PTS_PER_S = 432e6  # V100 FP32, docs/src/appendix/benchmarks.md:124
 
 N = 256
-STEPS = 10
+STEPS = 20
 
 
 def main():
@@ -32,7 +34,7 @@ def main():
                            dtype=jnp.float32)
     model = NonhydrostaticModel(grid, advection=WENO5(),
                                 buoyancy=BuoyancyTracer(),
-                                timestepper="RungeKutta3")
+                                timestepper="QuasiAdamsBashforth2")
     key = jax.random.PRNGKey(0)
     ku, kv, kb = jax.random.split(key, 3)
     state = model.initial_state(
@@ -57,7 +59,7 @@ def main():
     per_step = elapsed / STEPS
     pts_per_s = N ** 3 / per_step
     print(json.dumps({
-        "metric": "grid-points/s/chip (256^3 nonhydrostatic WENO5 RK3, fp32)",
+        "metric": "grid-points/s/chip (256^3 nonhydrostatic WENO5 AB2, fp32)",
         "value": round(pts_per_s),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / REFERENCE_PTS_PER_S, 3),

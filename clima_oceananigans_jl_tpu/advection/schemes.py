@@ -148,12 +148,17 @@ class WENO5(AdvectionScheme):
         return self._combine(p0, p1, p2, b0, b1, b2)
 
     def _combine(self, p0, p1, p2, b0, b1, b2):
+        # single-division form: αk = ck/(βk+ε)² → multiply through by
+        # Π(βj+ε)² so the weights become polynomials (divisions are
+        # multi-pass on the TPU VPU; this keeps exactly one)
         eps = self.eps
-        a0 = 0.1 / (b0 + eps) ** 2
-        a1 = 0.6 / (b1 + eps) ** 2
-        a2 = 0.3 / (b2 + eps) ** 2
-        inv = 1.0 / (a0 + a1 + a2)
-        return (a0 * p0 + a1 * p1 + a2 * p2) * inv
+        t0 = (b0 + eps) * (b0 + eps)
+        t1 = (b1 + eps) * (b1 + eps)
+        t2 = (b2 + eps) * (b2 + eps)
+        g0 = 0.1 * (t1 * t2)
+        g1 = 0.6 * (t0 * t2)
+        g2 = 0.3 * (t0 * t1)
+        return (g0 * p0 + g1 * p1 + g2 * p2) / (g0 + g1 + g2)
 
     def left_to_f(self, c, axis):
         return self._weno_left(c, axis)

@@ -176,59 +176,98 @@ def _axslice(data, axis, idx):
     return tuple(sl)
 
 
-def _fill_bounded_side(data, grid, loc, axis, side, bc, t=0.0):
-    """Ghost-cell fill for one bounded side (Value/Gradient/Flux/Open)."""
-    if bc is None or bc.kind in ("communication", "periodic"):
-        return data
+def _mirror_slab(data, axis, interior_idx):
+    """Gather the mirror layers for a whole ghost slab in one op (a flip of
+    a contiguous range when no clamping is needed, else a gather)."""
+    idx = list(interior_idx)
+    rev = list(reversed(idx))
+    if rev == list(range(rev[0], rev[0] + len(rev))):  # contiguous descending
+        sl = [slice(None)] * data.ndim
+        sl[axis] = slice(rev[0], rev[0] + len(rev))
+        return jnp.flip(data[tuple(sl)], axis=axis)
+    return jnp.take(data, jnp.asarray(idx), axis=axis)
+
+
+def _layer_shape(data, axis, n):
+    shape = list(data.shape)
+    shape[axis] = n
+    return tuple(shape)
+
+
+def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
+    """(slab, cut) for one bounded side: `slab` replaces array indices
+    [0:cut) (side 0) or [cut:end) (side 1). slab=None → nothing to write."""
     N = grid.shape[axis]
     H = grid.halo[axis]
-    S = lambda idx: _axslice(data, axis, idx)
     ax = grid._axes[axis]
     face_loc = loc[axis] is F
-
+    if bc is None or bc.kind in ("communication", "periodic"):
+        return None, (H if side == 0 else H + N + (1 if face_loc else 0))
     b = _bvalue(bc, grid, axis, side, loc, t)
-    if hasattr(b, "ndim") and b.ndim == 3:
-        b = jnp.squeeze(b, axis)  # boundary-plane shape matches int-indexed slices
     kind = bc.kind
+    clampc = lambda i: min(max(i, H), H + N - 1)
+
     if not face_loc:
-        # center-located along this axis: ghost layers mirror interior layers
-        for k in range(1, H + 1):
-            if side == 0:
-                g, i = H - k, H + k - 1
-            else:
-                g, i = H + N - 1 + k, H + N - k
-            i = min(max(i, H), H + N - 1)  # clamp when halo deeper than interior
-            fi = data[S(i)]
-            if kind == "value":
-                ghost = 2.0 * b - fi
-            elif kind == "gradient":
-                dist = ax.cc[i] - ax.cc[g]
-                ghost = fi - b * dist if side == 0 else fi + b * (ax.cc[g] - ax.cc[i])
-            else:  # flux / default: zero-gradient into the halo
-                ghost = fi
-            data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
+        if side == 0:
+            ghosts = list(range(0, H))
+            mirrors = [clampc(2 * H - 1 - g) for g in ghosts]
+            cut = H
+        else:
+            ghosts = list(range(H + N, H + N + H))
+            mirrors = [clampc(2 * (H + N) - 1 - g) for g in ghosts]
+            cut = H + N
+        slab = _mirror_slab(data, axis, mirrors)
+        if kind == "value":
+            slab = 2.0 * b - slab
+        elif kind == "gradient":
+            cc = ax.cc
+            # ghost = mirror − b·(c_mirror − c_ghost) on the left;
+            #       = mirror + b·(c_ghost − c_mirror) on the right
+            dist = jnp.stack([cc[m] - cc[g] for g, m in zip(ghosts, mirrors)])
+            shape = [1, 1, 1]
+            shape[axis] = H
+            dist = dist.reshape(shape)
+            slab = slab - b * dist
+        # flux/default: zero-gradient mirror (slab as is)
+        return jnp.broadcast_to(slab, _layer_shape(data, axis, H)), cut
+
+    # face-located: boundary face at H (left) / H+N (right)
+    bidx = H if side == 0 else H + N
+    lo, hi = H, H + N
+    if side == 0:
+        ghosts = list(range(0, H))
     else:
-        # face-located along this axis: boundary face at H (left) / H+N (right)
-        bidx = H if side == 0 else H + N
-        # ghost faces: k = 1..H on the left, 1..H-1 on the right
-        rng = range(1, H + 1) if side == 0 else range(1, H)
-        lo, hi = H, H + N  # valid face range to mirror from
-        if kind in ("open", "value"):
-            data = data.at[S(bidx)].set(
-                jnp.broadcast_to(b, data[S(bidx)].shape))
-            for k in rng:
-                g = bidx - k if side == 0 else bidx + k
-                i = bidx + k if side == 0 else bidx - k
-                i = min(max(i, lo), hi)
-                ghost = 2.0 * b - data[S(i)]
-                data = data.at[S(g)].set(jnp.broadcast_to(ghost, data[S(g)].shape))
-        else:  # zero-gradient mirror about the boundary face
-            for k in rng:
-                g = bidx - k if side == 0 else bidx + k
-                i = bidx + k if side == 0 else bidx - k
-                i = min(max(i, lo), hi)
-                data = data.at[S(g)].set(data[S(i)])
-    return data
+        ghosts = list(range(bidx + 1, bidx + H))
+    mirrors = [min(max(2 * bidx - g, lo), hi) for g in ghosts]
+    if kind in ("open", "value"):
+        bf = jnp.broadcast_to(b, _layer_shape(data, axis, 1))
+        ghost = (2.0 * b - _mirror_slab(data, axis, mirrors)) if ghosts else None
+        if side == 0:
+            parts = ([jnp.broadcast_to(ghost, _layer_shape(data, axis, len(ghosts))), bf]
+                     if ghost is not None else [bf])
+            return jnp.concatenate(parts, axis=axis), H + 1
+        parts = ([bf, jnp.broadcast_to(ghost, _layer_shape(data, axis, len(ghosts)))]
+                 if ghost is not None else [bf])
+        return jnp.concatenate(parts, axis=axis), H + N
+    # flux/default: zero-gradient mirror about the (untouched) boundary face
+    if not ghosts:
+        return None, (H if side == 0 else H + N + 1)
+    slab = jnp.broadcast_to(_mirror_slab(data, axis, mirrors),
+                            _layer_shape(data, axis, len(ghosts)))
+    return slab, (H if side == 0 else H + N + 1)
+
+
+def _fill_bounded_side(data, grid, loc, axis, side, bc, t=0.0):
+    """Full-array single-side fill (used by the distributed edge overlay)."""
+    slab, cut = _bounded_slab(data, grid, loc, axis, side, bc, t)
+    if slab is None:
+        return data
+    sl = [slice(None)] * data.ndim
+    if side == 0:
+        sl[axis] = slice(cut, None)
+        return jnp.concatenate([slab, data[tuple(sl)]], axis=axis)
+    sl[axis] = slice(0, cut)
+    return jnp.concatenate([data[tuple(sl)], slab], axis=axis)
 
 
 def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
@@ -240,9 +279,10 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
     S = lambda idx: _axslice(data, axis, idx)
 
     if topo in (PERIODIC,):
-        data = data.at[S(slice(0, H))].set(data[S(slice(N, N + H))])
-        data = data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
-        return data
+        # one concat: [top interior slab | interior | bottom interior slab]
+        return jnp.concatenate(
+            [data[S(slice(N, N + H))], data[S(slice(H, N + H))],
+             data[S(slice(H, 2 * H))]], axis=axis)
     if topo is FULLY_CONNECTED:
         dist = getattr(grid, "dist", (None, None, None))[axis]
         if dist is None:
@@ -258,9 +298,22 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
             data = select_edge(data, right, mesh_axis, n_shards, 1)
         return data
 
-    for side, bc in ((0, bc_left), (1, bc_right)):
-        data = _fill_bounded_side(data, grid, loc, axis, side, bc, t)
-    return data
+    # bounded: one concat of [left slab | untouched middle | right slab]
+    left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t)
+    right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t)
+    parts = []
+    if left is not None:
+        parts.append(left)
+        mid_start = cut0
+    else:
+        mid_start = 0
+    mid_end = cut1 if right is not None else data.shape[axis]
+    parts.append(data[S(slice(mid_start, mid_end))])
+    if right is not None:
+        parts.append(right)
+    if len(parts) == 1:
+        return data
+    return jnp.concatenate(parts, axis=axis)
 
 
 def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):

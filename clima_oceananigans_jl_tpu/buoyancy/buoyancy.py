@@ -122,6 +122,13 @@ def hydrostatic_pressure_anomaly(buoyancy, grid, tracers):
     S = b_f * grid.dz(W_LOC)           # b̄(k)·Δzᶠ(k) at faces
     Nz, Hz = grid.Nz, grid.Hz
     S_int = S[:, :, Hz + 1: Hz + Nz + 1]   # faces 1..Nz
-    ph_int = -jnp.flip(jnp.cumsum(jnp.flip(S_int, -1), -1), -1)
+    if jax.default_backend() == "tpu" and Nz > 1:
+        # reversed cumulative sum as a triangular matmul — rides the MXU
+        # instead of a log-depth scan over the lane dimension
+        U = jnp.triu(jnp.ones((Nz, Nz), S_int.dtype)).T  # U[j,k]=1 for j≥k
+        ph_int = -jax.lax.dot_general(S_int, U, (((2,), (0,)), ((), ())),
+                                      preferred_element_type=S_int.dtype)
+    else:
+        ph_int = -jnp.flip(jnp.cumsum(jnp.flip(S_int, -1), -1), -1)
     out = jnp.zeros(grid.total_shape, grid.dtype)
     return out.at[:, :, Hz: Hz + Nz].set(ph_int)

@@ -55,7 +55,8 @@ class NonhydrostaticModel:
                  buoyancy=None, coriolis=None, stokes_drift=None,
                  closure=None, tracers=None, forcing=None,
                  background_fields=None, boundary_conditions=None,
-                 timestepper="QuasiAdamsBashforth2", immersed_boundary=None):
+                 timestepper="QuasiAdamsBashforth2", immersed_boundary=None,
+                 fused_advection="auto"):
         self.advection = advection if advection is not None else CenteredSecondOrder()
         self.tracer_advection = (tracer_advection if tracer_advection is not None
                                  else self.advection)
@@ -72,7 +73,16 @@ class NonhydrostaticModel:
         self.tracer_names = tuple(names)
         h_req = max(self.advection.required_halo,
                     self.tracer_advection.required_halo, 1)
-        self.grid = grid.with_halo((h_req, h_req, h_req))
+        # fused Pallas tendencies want a y-halo multiple of 4 so tile
+        # windows satisfy the TPU sublane (8) tiling constraint
+        from ..ops.fused_tendencies import supports_fused_advection
+        want_fused = (fused_advection is True or
+                      (fused_advection == "auto"
+                       and jax.default_backend() == "tpu"))
+        hy = -(-h_req // 4) * 4 if want_fused else h_req
+        self.grid = grid.with_halo((h_req, hy, h_req))
+        self.fused_advection = bool(want_fused and not background_fields
+                                    and supports_fused_advection(self.grid))
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.stokes_drift = stokes_drift
@@ -105,7 +115,7 @@ class NonhydrostaticModel:
         fk = tuple(sorted(self.forcing))
         static = (self.advection, self.tracer_advection, self.tracer_names,
                   self.timestepper, self.ab2_chi,
-                  fk, tuple(self.forcing[k] for k in fk))
+                  fk, tuple(self.forcing[k] for k in fk), self.fused_advection)
         return leaves, static
 
     @classmethod
@@ -115,7 +125,7 @@ class NonhydrostaticModel:
          obj.bcs, obj.pressure_bcs, obj.pressure_solver,
          obj.background_fields, obj.immersed_boundary) = leaves
         (obj.advection, obj.tracer_advection, obj.tracer_names,
-         obj.timestepper, obj.ab2_chi, fk, fv) = static
+         obj.timestepper, obj.ab2_chi, fk, fv, obj.fused_advection) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -178,9 +188,17 @@ class NonhydrostaticModel:
         scheme = self.advection
         G = {}
 
-        Gu = -div_vu(grid, scheme, u, v, w)
-        Gv = -div_vv(grid, scheme, u, v, w)
-        Gw = -div_vw(grid, scheme, u, v, w)
+        fused_adv = None
+        if self.fused_advection:
+            from ..ops.fused_tendencies import fused_advective_tendencies
+            fused_adv = fused_advective_tendencies(
+                grid, scheme, self.tracer_advection, u, v, w,
+                {n: sol[n] for n in self.tracer_names})
+            Gu, Gv, Gw = fused_adv["u"], fused_adv["v"], fused_adv["w"]
+        else:
+            Gu = -div_vu(grid, scheme, u, v, w)
+            Gv = -div_vv(grid, scheme, u, v, w)
+            Gw = -div_vw(grid, scheme, u, v, w)
 
         # background-field advection cross terms (reference tendency :61-63)
         bg = self.background_fields
@@ -225,7 +243,8 @@ class NonhydrostaticModel:
         ts = self.tracer_advection
         for name in self.tracer_names:
             c = sol[name]
-            Gc = -div_Uc(grid, ts, u, v, w, c)
+            Gc = (fused_adv[name] if fused_adv is not None
+                  else -div_Uc(grid, ts, u, v, w, c))
             if bg and name in bg:
                 Gc = Gc - div_Uc(grid, ts,
                                  bg.get("u", jnp.zeros_like(u)),
@@ -260,7 +279,12 @@ class NonhydrostaticModel:
         """Make (u,v,w) divergence-free (reference pressure_correction.jl:10-40,
         solve_for_pressure.jl:15-71); returns corrected state with pNHS."""
         grid = self.grid
-        sol = self.fill_all_halos(state["solution"], state["clock"].time)
+        # only the velocities need fresh halos for the divergence/correction
+        t = state["clock"].time
+        sol = dict(state["solution"])
+        for name in ("u", "v", "w"):
+            sol[name] = fill_halos(sol[name], grid, self._locs()[name],
+                                   self.bcs[name], t)
         u, v, w = sol["u"], sol["v"], sol["w"]
         div = op.div_ccc(u, v, w, grid)
         rhs = grid.interior(div) / dt

@@ -1,0 +1,156 @@
+"""Fused advective-tendency Pallas kernel.
+
+The hot path of the nonhydrostatic/hydrostatic models is the advective
+flux divergence of every prognostic field (WENO5: hundreds of XLA HLOs).
+XLA materializes the intermediate reconstructions to HBM — measured
+~70 GB of traffic per AB2 step at 256³, i.e. ~500 full-array passes —
+so the step is bandwidth-bound far above its ~30-pass minimum.
+
+This kernel evaluates **all** advective tendencies in one pass over
+(x, y) tiles with full-z windows: each tile reads the (u, v, w, tracers)
+halo windows into VMEM once, evaluates the same whole-array stencil
+expressions used by the reference jnp path (bit-identical results — the
+flux functions are reused verbatim on the VMEM blocks), and writes the
+interior tendencies. Traffic drops to ~(inputs × halo-amplification +
+outputs) ≈ 2 passes per array.
+
+Requirements: regular grid spacing (metrics are compile-time scalars) and
+y-halo chosen so the y-window is a multiple of 8 (TPU sublane tiling);
+the z window uses the full-array-dimension exemption from the lane-128
+rule. Falls back to interpret mode off-TPU (used by the CPU test suite).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstMetricGrid:
+    """Minimal metric protocol with compile-time-constant spacings."""
+
+    ddx: float
+    ddy: float
+    ddz: float
+
+    def spacing(self, axis, loc):
+        return (self.ddx, self.ddy, self.ddz)[axis]
+
+    def dx(self, loc):
+        return self.ddx
+
+    def dy(self, loc):
+        return self.ddy
+
+    def dz(self, loc):
+        return self.ddz
+
+    def Ax(self, loc):
+        return self.ddy * self.ddz
+
+    def Ay(self, loc):
+        return self.ddx * self.ddz
+
+    def Az(self, loc):
+        return self.ddx * self.ddy
+
+    def V(self, loc):
+        return self.ddx * self.ddy * self.ddz
+
+
+def supports_fused_advection(grid):
+    return (not grid.curvilinear and grid.all_regular
+            and grid.Hy >= 1 and grid.Nz >= 1)
+
+
+def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=500_000):
+    """Pick (TX, TY) dividing (nx, ny) with (TY+2hy) % 8 == 0 (or full),
+    keeping the padded VMEM window under `budget_bytes` (the kernel's
+    scratch stack is ~25-30 windows; VMEM is 16 MB)."""
+    def divisors(n):
+        return [d for d in range(1, n + 1) if n % d == 0]
+
+    def pad(v, m):
+        return -(-v // m) * m
+
+    z_pad = pad(zt, 128)
+    best = None
+    for ty in divisors(ny):
+        ty_w = ty + 2 * hy
+        if ty_w % 8 != 0 and ty != ny:
+            continue
+        for tx in divisors(nx):
+            tx_w = tx + 2 * hx
+            win = tx_w * pad(ty_w, 8) * z_pad * itemsize
+            if win > budget_bytes:
+                continue
+            score = tx * ty  # larger tiles → less halo re-read
+            if best is None or score > best[0]:
+                best = (score, tx, ty)
+    if best is None:
+        return 1, ny  # last resort (tiny grids)
+    return best[1], best[2]
+
+
+def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
+                               interpret=None):
+    """−div(advective fluxes) for u, v, w and every tracer, in one fused
+    Pallas pass. Returns a dict of with-halo arrays (x/y halo regions are
+    zero; z range mirrors the jnp path's garbage-in-halo convention)."""
+    from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    nx, ny, nz = grid.shape
+    hx, hy, hz = grid.halo
+    zt = nz + 2 * hz
+    ax = grid._axes
+    cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
+                         float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
+                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0)
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=u.dtype.itemsize)
+    names = list(tracers)
+    n_out = 3 + len(names)
+
+    def kernel(u_ref, v_ref, w_ref, *refs):
+        c_refs = refs[:len(names)]
+        out_refs = refs[len(names):]
+        ub, vb, wb = u_ref[:], v_ref[:], w_ref[:]
+        sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
+              slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
+              slice(None))
+        out_refs[0][:] = -div_vu(cg, scheme, ub, vb, wb)[sl]
+        out_refs[1][:] = -div_vv(cg, scheme, ub, vb, wb)[sl]
+        out_refs[2][:] = -div_vw(cg, scheme, ub, vb, wb)[sl]
+        for k, cref in enumerate(c_refs):
+            out_refs[3 + k][:] = -div_Uc(cg, tracer_scheme, ub, vb, wb,
+                                         cref[:])[sl]
+
+    win = pl.BlockSpec(
+        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
+        lambda i, j: (i * tx, j * ty, 0))
+    out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nx, ny, zt), u.dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nx // tx, ny // ty),
+        in_specs=[win] * (3 + len(names)),
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
+        interpret=interpret,
+    )(u, v, w, *[tracers[n] for n in names])
+
+    pad = ((hx, hx), (hy, hy), (0, 0))
+    result = dict(u=jnp.pad(outs[0], pad), v=jnp.pad(outs[1], pad),
+                  w=jnp.pad(outs[2], pad))
+    for k, n in enumerate(names):
+        result[n] = jnp.pad(outs[3 + k], pad)
+    return result

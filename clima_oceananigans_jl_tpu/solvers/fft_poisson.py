@@ -73,25 +73,40 @@ class FFTPoissonSolver:
         return tuple(a for a in range(3) if self.topology[a] is topo)
 
     def solve(self, rhs, m=0.0):
-        """(∇² + m)φ = rhs (interior arrays, no halos)."""
+        """(∇² + m)φ = rhs (interior arrays, no halos). The first periodic
+        axis uses a real FFT (halved spectrum — halves the transform and
+        eigen-divide traffic for real inputs)."""
         dct_axes = self._axes_of(BOUNDED)
         fft_axes = self._axes_of(PERIODIC)
+        use_rfft = bool(fft_axes) and not jnp.iscomplexobj(rhs)
+        r_axis = fft_axes[0] if use_rfft else None
+        c_axes = tuple(a for a in fft_axes if a != r_axis)
 
         b = rhs
         for a in dct_axes:
             b = jfft.dct(b, type=2, axis=a, norm="ortho")
-        if fft_axes:
-            b = jnp.fft.fftn(b, axes=fft_axes)
+        if use_rfft:
+            n_r = b.shape[r_axis]
+            b = jnp.fft.rfft(b, axis=r_axis)
+        if c_axes:
+            b = jnp.fft.fftn(b, axes=c_axes)
 
-        lam = self.eigenvalues[0] + self.eigenvalues[1] + self.eigenvalues[2]
+        eig = list(self.eigenvalues)
+        if use_rfft:
+            sl = [slice(None)] * 3
+            sl[r_axis] = slice(0, n_r // 2 + 1)
+            eig[r_axis] = eig[r_axis][tuple(sl)]
+        lam = eig[0] + eig[1] + eig[2]
         denom = lam - m
         phi = -b / jnp.where(denom == 0, jnp.ones_like(denom), denom)
         if m == 0.0:
             # zero the undetermined mean mode (reference solve! :108-111)
             phi = phi.at[0, 0, 0].set(0.0)
 
-        if fft_axes:
-            phi = jnp.fft.ifftn(phi, axes=fft_axes)
+        if c_axes:
+            phi = jnp.fft.ifftn(phi, axes=c_axes)
+        if use_rfft:
+            phi = jnp.fft.irfft(phi, n=n_r, axis=r_axis)
         phi = jnp.real(phi) if jnp.iscomplexobj(phi) else phi
         for a in reversed(dct_axes):
             phi = jfft.idct(phi, type=2, axis=a, norm="ortho")
