@@ -167,6 +167,35 @@ class WENO5(AdvectionScheme):
         return self._weno_right(c, axis)
 
 
+@dataclasses.dataclass(frozen=True)
+class BoundsPreservingWENO5(WENO5):
+    """WENO5 with a monotonicity clip of the reconstructed face values to
+    the adjacent cell range — the bound/positivity-preserving limiter of
+    the reference (positivity_preserving_tracer_advection_operators.jl):
+    a tracer field that starts within [m, M] stays within [m, M]."""
+
+    def _clip(self, rec, c, axis, to_f):
+        if to_f:
+            lo = jnp.minimum(shift(c, -1, axis), c)
+            hi = jnp.maximum(shift(c, -1, axis), c)
+        else:
+            lo = jnp.minimum(c, shift(c, 1, axis))
+            hi = jnp.maximum(c, shift(c, 1, axis))
+        return jnp.clip(rec, lo, hi)
+
+    def left_to_f(self, c, axis):
+        return self._clip(super().left_to_f(c, axis), c, axis, True)
+
+    def right_to_f(self, c, axis):
+        return self._clip(super().right_to_f(c, axis), c, axis, True)
+
+    def left_to_c(self, u, axis):
+        return self._clip(super().left_to_c(u, axis), u, axis, False)
+
+    def right_to_c(self, u, axis):
+        return self._clip(super().right_to_c(u, axis), u, axis, False)
+
+
 def upwind_biased_product(vel, left, right):
     """vel·ψ upwind product ((ũ+|ũ|)ψᴸ + (ũ−|ũ|)ψᴿ)/2
     (reference upwind_biased_advective_fluxes.jl:10). Includes the velocity

@@ -1,0 +1,131 @@
+"""Units/logger, nonlinear EOS, prescribed velocities, ensemble vmap,
+bounds-preserving WENO (model: assorted reference tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, FLAT, PERIODIC, RectilinearGrid, WENO5,
+)
+from clima_oceananigans_jl_tpu.utils.units import (
+    day, hour, minute, prettytime, kilometer,
+)
+from clima_oceananigans_jl_tpu.utils.logger import configure_logger
+from clima_oceananigans_jl_tpu.buoyancy.buoyancy import SeawaterBuoyancy
+from clima_oceananigans_jl_tpu.buoyancy.nonlinear_eos import (
+    PolynomialEquationOfState, RoquetIdealizedEquationOfState,
+)
+from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+from clima_oceananigans_jl_tpu.models.prescribed import (
+    PrescribedVelocityFields, PrescribedVelocityModel,
+)
+from clima_oceananigans_jl_tpu.models.ensemble import (
+    ensemble_initial_state, ensemble_step, member,
+)
+from clima_oceananigans_jl_tpu.advection.schemes import BoundsPreservingWENO5
+
+
+def test_units_and_prettytime():
+    assert day == 24 * hour and hour == 60 * minute and kilometer == 1000.0
+    assert prettytime(90) == "1.500 minutes"
+    assert "hours" in prettytime(2 * hour)
+    assert "ms" in prettytime(5e-3)
+    configure_logger()
+
+
+def test_nonlinear_eos_cabbeling():
+    eos = RoquetIdealizedEquationOfState()
+    # mixing two water masses of equal density must be denser (cabbeling)
+    T1, T2, S, z = 5.0, 15.0, 35.0, -100.0
+    r1 = eos.density_anomaly(T1, S, z)
+    r2 = eos.density_anomaly(T2, S, z)
+    rmix = eos.density_anomaly(0.5 * (T1 + T2), S, z)
+    assert rmix > 0.5 * (r1 + r2)
+    poly = PolynomialEquationOfState.from_dict({(1, 0, 0): -0.2, (0, 1, 0): 0.8})
+    assert np.isclose(poly.density_anomaly(2.0, 1.0, 0.0), -0.4 + 0.8)
+
+
+def test_nonlinear_eos_in_model_runs():
+    g = RectilinearGrid(size=(8, 8, 8), extent=(1, 1, 1),
+                        topology=(PERIODIC, PERIODIC, BOUNDED), dtype=jnp.float64)
+    model = NonhydrostaticModel(
+        g, buoyancy=SeawaterBuoyancy(
+            equation_of_state=RoquetIdealizedEquationOfState()))
+    state = model.initial_state(T=lambda x, y, z: 12.0 + z, S=35.0)
+    step = jax.jit(model.step)
+    for _ in range(3):
+        state = step(state, jnp.float64(1e-3))
+    assert np.all(np.isfinite(np.asarray(state["solution"]["T"])))
+
+
+def test_prescribed_velocity_tracer_advection():
+    g = RectilinearGrid(size=(32, 1, 1), x=(0, 1), y=(0, 1),
+                        topology=(PERIODIC, FLAT, FLAT), dtype=jnp.float64)
+    vel = PrescribedVelocityFields(u=lambda x, y, z, t: 1.0 + 0 * x)
+    model = PrescribedVelocityModel(g, vel, tracers=("c",),
+                                    tracer_advection=WENO5())
+    state = model.initial_state(c=lambda x, y, z: jnp.exp(
+        -((x - 0.5) ** 2) / 0.01))
+    step = jax.jit(model.step)
+    n, dt = 100, 1e-3
+    for _ in range(n):
+        state = step(state, jnp.float64(dt))
+    c = np.asarray(model.grid.interior(state["solution"]["c"]))[:, 0, 0]
+    x = np.asarray(model.grid.coord(0, "c"))
+    # gaussian advected by 0.1 with periodic wrap
+    expected = np.exp(-((np.mod(x - 0.5 - n * dt, 1.0) + 0.0 - 0.0) ** 2) / 0.01)
+    expected = np.exp(-((np.minimum(np.abs(x - 0.6), 1 - np.abs(x - 0.6))) ** 2) / 0.01)
+    assert np.argmax(c) == np.argmin(np.abs(x - 0.6))
+
+
+def test_ensemble_vmap_mode():
+    g = RectilinearGrid(size=(1, 1, 16), x=(0, 1), y=(0, 1), z=(-10, 0),
+                        topology=(FLAT, FLAT, BOUNDED), dtype=jnp.float64)
+    from clima_oceananigans_jl_tpu import ScalarDiffusivity
+    from clima_oceananigans_jl_tpu.models.hydrostatic import HydrostaticFreeSurfaceModel
+    from clima_oceananigans_jl_tpu.models.free_surface import ImplicitFreeSurface
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    model = HydrostaticFreeSurfaceModel(
+        grid=g, free_surface=ImplicitFreeSurface(solver_method="pcg"),
+        momentum_advection=None, tracer_advection=None,
+        buoyancy=BuoyancyTracer(),
+        closure=ScalarDiffusivity(kappa_z=0.01, nu_z=0.01,
+                                  time_discretization="vertically_implicit"))
+    members = [dict(b=lambda x, y, z, s=s: s * (z + 10) / 10)
+               for s in (1e-5, 2e-5, 3e-5)]
+    batched = ensemble_initial_state(model, members)
+    step = ensemble_step(model)
+    for _ in range(3):
+        batched = step(batched, jnp.float64(10.0))
+    for i, s in enumerate((1e-5, 2e-5, 3e-5)):
+        b = np.asarray(member(batched, i)["solution"]["b"])
+        assert np.all(np.isfinite(b))
+        assert abs(b.max() - s) < s  # scale preserved per member
+
+
+def test_bounds_preserving_weno_limits_overshoot():
+    def run(scheme):
+        g = RectilinearGrid(size=(64, 1, 1), x=(0, 1), y=(0, 1),
+                            topology=(PERIODIC, FLAT, FLAT), dtype=jnp.float64)
+        vel = PrescribedVelocityFields(u=lambda x, y, z, t: 1.0 + 0 * x)
+        model = PrescribedVelocityModel(g, vel, tracers=("c",),
+                                        tracer_advection=scheme)
+        state = model.initial_state(
+            c=lambda x, y, z: jnp.where((x > 0.25) & (x < 0.5), 1.0, 0.0))
+        step = jax.jit(model.step)
+        for _ in range(200):
+            state = step(state, jnp.float64(2e-3))
+        return np.asarray(model.grid.interior(state["solution"]["c"]))
+
+    c_lim = run(BoundsPreservingWENO5())
+    # reconstruction clipping keeps the square wave essentially in [0, 1]
+    # (AB2 flux-form stepping allows a tiny residual; exact bounds need SSP)
+    assert c_lim.min() >= -1e-3 and c_lim.max() <= 1.0 + 1e-3
+    assert c_lim.max() > 0.5
+    # and the reconstructed FACE values are strictly within neighbor bounds
+    scheme = BoundsPreservingWENO5()
+    c = jnp.asarray(np.r_[np.zeros(8), np.ones(8), np.zeros(8)])[None, None, :]
+    rec = np.asarray(scheme.left_to_f(c, 2))[0, 0, 4:-4]
+    lo = np.minimum(np.asarray(c)[0, 0, 3:-5], np.asarray(c)[0, 0, 4:-4])
+    hi = np.maximum(np.asarray(c)[0, 0, 3:-5], np.asarray(c)[0, 0, 4:-4])
+    assert np.all(rec >= lo - 1e-14) and np.all(rec <= hi + 1e-14)
