@@ -42,6 +42,9 @@ def _face_positions(extent, n, dtype, spec=None):
     arr = np.asarray(spec, dtype=np.float64)
     if arr.shape != (n + 1,):
         raise ValueError(f"face-position array must have length n+1={n + 1}, got {arr.shape}")
+    if np.any(np.diff(arr) <= 0):
+        raise ValueError("face positions must be strictly increasing "
+                         "(reference Grids/input_validation.jl)")
     return arr
 
 
