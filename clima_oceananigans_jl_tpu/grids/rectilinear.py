@@ -282,6 +282,13 @@ class RectilinearGrid:
                 continue
             old_h = a.h
             cf = np.asarray(a.cf, dtype=np.float64)
+            if a.regular:
+                # regular axes: rebuild from the interval so low-precision
+                # stored coordinates don't destroy the regularity flag
+                lo = float(cf[old_h])
+                axes.append(_build_axis(a.n, h, a.topo, (lo, lo + a.extent),
+                                        None, dtype=self.dtype))
+                continue
             dc = np.asarray(a.dc, dtype=np.float64)
             interior_faces = np.empty(a.n + 1)
             interior_faces[:-1] = cf[old_h: old_h + a.n]

@@ -36,6 +36,42 @@ def _ixyff(h):
     return st.ixf(st.iyf(h))
 
 
+def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
+                     bathymetry=None):
+    """Advection + pressure-gradient + mass tendencies (the fused-kernel
+    core: pure stencil math over any grid-metric provider)."""
+    u_cc = st.ixc(uh)
+    v_ff = st.ixf(vh)
+    flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False) / h
+    flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True) / _ixyff(h)
+    div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
+
+    u_ff = st.iyf(uh)
+    v_cc = st.iyc(vh)
+    flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True) / _ixyff(h)
+    flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False) / h
+    div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
+
+    half_g_h2 = 0.5 * g * h * h
+    Guh = -div_mom_u - st.dxf(half_g_h2) / grid.dx(U_LOC)
+    Gvh = -div_mom_v - st.dyf(half_g_h2) / grid.dy(V_LOC)
+
+    if bathymetry is not None:
+        Guh = Guh + g * st.ixf(h) * st.dxf(bathymetry) / grid.dx(U_LOC)
+        Gvh = Gvh + g * st.iyf(h) * st.dyf(bathymetry) / grid.dy(V_LOC)
+
+    Gh = -(st.dxc(grid.Ax(U_LOC) * uh)
+           + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER)
+
+    Gcs = []
+    for c in tracers:
+        fx = grid.Ax(U_LOC) * transport(tracer_scheme, uh, c, 0, True)
+        fy = grid.Ay(V_LOC) * transport(tracer_scheme, vh, c, 1, True)
+        div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
+        Gcs.append(-div_Uc + c * (-Gh))
+    return (Guh, Gvh, Gh, *Gcs)
+
+
 @jax.tree_util.register_pytree_node_class
 class ShallowWaterModel:
     """Config container; all methods are pure functions of (state, Δt)."""
@@ -51,8 +87,15 @@ class ShallowWaterModel:
         self.tracer_advection = (tracer_advection if tracer_advection is not None
                                  else self.advection)
         h_req = max(self.advection.required_halo, self.tracer_advection.required_halo)
-        self.grid = grid.with_halo((h_req, h_req, 0))
+        import jax as _jax
+        want_fused = (_jax.default_backend() == "tpu" and not grid.curvilinear)
+        # fused 2D Pallas tiles need the x-window (sublane dim) to be a
+        # multiple of 8, so pad the x-halo to a multiple of 4
+        hx = -(-h_req // 4) * 4 if want_fused else h_req
+        self.grid = grid.with_halo((hx, h_req, 0))
         self.g = gravitational_acceleration
+        self.g_const = float(gravitational_acceleration)
+        self.fused_advection = bool(want_fused and self.grid.all_regular)
         self.coriolis = coriolis
         self.closure = closure
         self.bathymetry = bathymetry  # hB array at centers or None
@@ -72,7 +115,9 @@ class ShallowWaterModel:
         leaves = (self.grid, self.g, self.coriolis, self.closure,
                   self.bathymetry, self.bcs)
         static = (self.advection, self.tracer_advection, self.tracer_names,
-                  tuple(sorted(self.forcing)), tuple(self.forcing[k] for k in sorted(self.forcing)))
+                  tuple(sorted(self.forcing)),
+                  tuple(self.forcing[k] for k in sorted(self.forcing)),
+                  self.fused_advection, self.g_const)
         return leaves, static
 
     @classmethod
@@ -82,6 +127,8 @@ class ShallowWaterModel:
          obj.bathymetry, obj.bcs) = leaves
         obj.advection, obj.tracer_advection, obj.tracer_names = static[:3]
         obj.forcing = dict(zip(static[3], static[4]))
+        obj.fused_advection = static[5]
+        obj.g_const = static[6]
         return obj
 
     # -- state --------------------------------------------------------------
@@ -121,32 +168,35 @@ class ShallowWaterModel:
         uh, vh, h = sol["uh"], sol["vh"], sol["h"]
         clock = state["clock"]
         scheme = self.advection
+        tracer_arrays = [sol[n] for n in self.tracer_names]
 
-        # momentum advection: fluxes of uh/vh transported by (uh, vh)/h
-        u_cc = st.ixc(uh)                              # ℑxᶜ(uh) at centers
-        v_ff = st.ixf(vh)                              # at (F,F,·)
-        flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False) / h
-        flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True) / _ixyff(h)
-        div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
-
-        u_ff = st.iyf(uh)
-        v_cc = st.iyc(vh)
-        flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True) / _ixyff(h)
-        flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False) / h
-        div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
-
-        # pressure gradient g ∂(h²/2) and bathymetry contribution
-        half_g_h2 = 0.5 * g * h * h
-        dp_x = st.dxf(half_g_h2) / grid.dx(U_LOC)
-        dp_y = st.dyf(half_g_h2) / grid.dy(V_LOC)
-
-        Guh = -div_mom_u - dp_x
-        Gvh = -div_mom_v - dp_y
-
-        if self.bathymetry is not None:
+        if self.fused_advection:
+            from ..ops import fused_tendencies as _ft
+            ConstMetricGrid, pallas_fuse = _ft.ConstMetricGrid, _ft.pallas_fuse
+            ax = grid._axes
+            cg = ConstMetricGrid(
+                float(ax[0].extent / max(grid.Nx, 1)),
+                float(ax[1].extent / max(grid.Ny, 1)),
+                float(ax[2].extent / max(grid.Nz, 1)) if grid.Nz > 1 else 1.0)
             hB = self.bathymetry
-            Guh = Guh + g * st.ixf(h) * st.dxf(hB) / grid.dx(U_LOC)
-            Gvh = Gvh + g * st.iyf(h) * st.dyf(hB) / grid.dy(V_LOC)
+            n_extra = 1 if hB is not None else 0
+
+            def core(uh_b, vh_b, h_b, *rest):
+                bath = rest[-1] if n_extra else None
+                trs = rest[:len(tracer_arrays)]
+                return _core_tendencies(cg, scheme, self.tracer_advection,
+                                        self.g_const, uh_b, vh_b, h_b, trs, bath)
+
+            args = [uh, vh, h] + tracer_arrays + ([hB] if hB is not None else [])
+            fused = pallas_fuse(core, grid, 3 + len(tracer_arrays))
+            outs = (fused(*args) if fused is not None else
+                    _core_tendencies(grid, scheme, self.tracer_advection, g,
+                                     uh, vh, h, tracer_arrays, self.bathymetry))
+        else:
+            outs = _core_tendencies(grid, scheme, self.tracer_advection, g,
+                                    uh, vh, h, tracer_arrays, self.bathymetry)
+        Guh, Gvh, Gh = outs[0], outs[1], outs[2]
+        Gtracers = outs[3:]
 
         if self.coriolis is not None:
             zero_w = jnp.zeros_like(h)
@@ -157,23 +207,11 @@ class ShallowWaterModel:
             Guh = Guh + momentum_diffusion(uh, grid, U_LOC, self.closure)
             Gvh = Gvh + momentum_diffusion(vh, grid, V_LOC, self.closure)
 
-        # mass conservation: ∂h/∂t = −∇·(uh, vh)
-        Gh = -(st.dxc(grid.Ax(U_LOC) * uh)
-               + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER)
-
         G = dict(uh=Guh, vh=Gvh, h=Gh)
 
-        # tracers: −∇·(Uc) + c∇·U
-        ts = self.tracer_advection
-        for name in self.tracer_names:
-            c = sol[name]
-            fx = grid.Ax(U_LOC) * transport(ts, uh, c, 0, True)
-            fy = grid.Ay(V_LOC) * transport(ts, vh, c, 1, True)
-            div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
-            c_div_U = c * (-Gh)
-            Gc = -div_Uc + c_div_U
+        for name, Gc in zip(self.tracer_names, Gtracers):
             if self.closure is not None:
-                Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+                Gc = Gc + tracer_diffusion(sol[name], grid, name, self.closure)
             G[name] = Gc
 
         # user forcing + boundary fluxes

@@ -98,6 +98,110 @@ def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=500_000):
     return best[1], best[2]
 
 
+def pallas_fuse(fn, grid, n_out, interpret=None):
+    """Tile ANY whole-array stencil function into one fused Pallas pass.
+
+    ``fn(*blocks) -> tuple of n_out blocks`` evaluates the stencil math on
+    (tx+2hx, ty+2hy, zt) VMEM windows (reusing the ordinary jnp stencil
+    code); the wrapper returns a function over with-halo arrays producing
+    with-halo outputs whose x/y halos are zero-padded. Regular grids only
+    (metrics must be compile-time constants inside ``fn``)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    nx, ny, nz = grid.shape
+    hx, hy, hz = grid.halo
+    zt = nz + 2 * hz
+
+    if nz == 1 and hz == 0:
+        # 2D fields: squeeze z so y is the lane dimension (a trailing
+        # size-1 lane dim would waste 127/128 of the VPU); tile x only,
+        # y-window = full array dim (the lane-128 rule's exemption)
+        ny_tot = ny + 2 * hy
+        legal_2d = any(nx % d == 0 and d % 8 == 0 and (d + 2 * hx) % 8 == 0
+                       and (d + 2 * hx) * ny_tot * 4 <= 700_000
+                       for d in range(1, nx + 1))
+        # wide rows make the Mosaic compile pathologically slow (hangs
+        # observed at ny >= 4096); keep the compiled 2D path for small
+        # grids and fall back to the XLA path otherwise
+        if not legal_2d or (interpret is False or interpret is None) and ny_tot > 1100:
+            return None
+
+        def wrapped2d(*inputs):
+            itemsize = inputs[0].dtype.itemsize
+            budget = 700_000
+            tx = None
+            for d in range(1, nx + 1):
+                if nx % d:
+                    continue
+                # both the input window (tx+2hx) and the output tile (tx)
+                # sit in the sublane dim: keep each a multiple of 8
+                if d % 8 != 0 or (d + 2 * hx) % 8 != 0:
+                    continue
+                if (d + 2 * hx) * ny_tot * itemsize <= budget:
+                    tx = d
+            if tx is None:
+                return None  # no legal tiling → caller falls back to jnp
+            ins2 = [x[:, :, 0] for x in inputs]
+
+            def kernel(*refs):
+                in_refs = refs[:len(inputs)]
+                out_refs = refs[len(inputs):]
+                blocks = [r[:][:, :, None] for r in in_refs]
+                outs = fn(*blocks)
+                for o_ref, o in zip(out_refs, outs):
+                    o_ref[:] = o[hx:hx + tx, :, 0]
+
+            win = pl.BlockSpec((pl.Element(tx + 2 * hx), pl.Element(ny_tot)),
+                               lambda i: (i * tx, 0))
+            out_spec = pl.BlockSpec((tx, ny_tot), lambda i: (i, 0))
+            out_shape = jax.ShapeDtypeStruct((nx, ny_tot), inputs[0].dtype)
+            outs = pl.pallas_call(
+                kernel,
+                grid=(nx // tx,),
+                in_specs=[win] * len(inputs),
+                out_specs=[out_spec] * n_out,
+                out_shape=[out_shape] * n_out,
+                interpret=interpret,
+            )(*ins2)
+            return tuple(jnp.pad(o, ((hx, hx), (0, 0)))[:, :, None]
+                         for o in outs)
+
+        return wrapped2d
+
+    def wrapped(*inputs):
+        tx, ty = _tile_sizes(nx, ny, hx, hy, zt,
+                             itemsize=inputs[0].dtype.itemsize)
+
+        def kernel(*refs):
+            in_refs = refs[:len(inputs)]
+            out_refs = refs[len(inputs):]
+            blocks = [r[:] for r in in_refs]
+            sl = (slice(hx, hx + tx) if blocks[0].shape[0] > tx else slice(None),
+                  slice(hy, hy + ty) if blocks[0].shape[1] > ty else slice(None),
+                  slice(None))
+            outs = fn(*blocks)
+            for o_ref, o in zip(out_refs, outs):
+                o_ref[:] = o[sl]
+
+        win = pl.BlockSpec(
+            (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
+            lambda i, j: (i * tx, j * ty, 0))
+        out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
+        out_shape = jax.ShapeDtypeStruct((nx, ny, zt), inputs[0].dtype)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nx // tx, ny // ty),
+            in_specs=[win] * len(inputs),
+            out_specs=[out_spec] * n_out,
+            out_shape=[out_shape] * n_out,
+            interpret=interpret,
+        )(*inputs)
+        pad = ((hx, hx), (hy, hy), (0, 0))
+        return tuple(jnp.pad(o, pad) for o in outs)
+
+    return wrapped
+
+
 def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
                                interpret=None):
     """−div(advective fluxes) for u, v, w and every tracer, in one fused
