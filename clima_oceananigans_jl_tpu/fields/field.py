@@ -165,3 +165,54 @@ def VelocityFields(grid, bcs=None):
 def TracerFields(grid, names, bcs=None):
     bcs = bcs or {}
     return {name: CenterField(grid, bcs.get(name)) for name in names}
+
+
+# -- interpolation / regridding (reference src/Fields/interpolate.jl, regrid!.jl)
+def interpolate(field: Field, grid, x, y, z):
+    """Trilinear interpolation of a field at arbitrary points (arrays or
+    scalars) — reference `interpolate` (src/Fields/interpolate.jl)."""
+    from ..particles.lagrangian import interpolate_field
+    xs = jnp.atleast_1d(jnp.asarray(x, grid.dtype))
+    ys = jnp.atleast_1d(jnp.asarray(y, grid.dtype))
+    zs = jnp.atleast_1d(jnp.asarray(z, grid.dtype))
+    out = interpolate_field(field.data, grid, field.loc, xs, ys, zs)
+    return out[0] if jnp.ndim(x) == 0 else out
+
+
+def regrid(field: Field, src_grid, dst_grid, t=0.0) -> Field:
+    """Resample a field onto another grid by trilinear interpolation at the
+    destination nodes (reference `regrid!`, conservative only for smooth
+    fields)."""
+    from ..particles.lagrangian import interpolate_field
+    x, y, z = dst_grid.nodes(field.loc, with_halo=True)
+    shape = dst_grid.total_shape
+    X = jnp.broadcast_to(x, shape).ravel()
+    Y = jnp.broadcast_to(y, shape).ravel()
+    Z = jnp.broadcast_to(z, shape).ravel()
+    vals = interpolate_field(field.data, src_grid, field.loc, X, Y, Z)
+    out = new_field(dst_grid, field.loc)
+    return set_field(out, dst_grid, vals.reshape(shape), t)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FunctionField:
+    """Lazily-evaluated analytic field f(x, y, z[, t]) on a grid location
+    (reference src/Fields/function_field.jl); materialize with `.at_time`."""
+
+    func: callable
+    loc: tuple = CENTER
+    time_dependent: bool = False
+
+    def tree_flatten(self):
+        return (), (self.func, self.loc, self.time_dependent)
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*static)
+
+    def at_time(self, grid, t=0.0):
+        x, y, z = grid.nodes(self.loc, with_halo=True)
+        val = self.func(x, y, z, t) if self.time_dependent else self.func(x, y, z)
+        return Field(jnp.broadcast_to(jnp.asarray(val, grid.dtype),
+                                      grid.total_shape), self.loc)

@@ -286,16 +286,40 @@ class NonhydrostaticModel:
             sol[name] = fill_halos(sol[name], grid, self._locs()[name],
                                    self.bcs[name], t)
         u, v, w = sol["u"], sol["v"], sol["w"]
-        div = op.div_ccc(u, v, w, grid)
+        fuser = None
+        if self.fused_advection:
+            from ..ops.fused_tendencies import ConstMetricGrid, pallas_fuse
+            ax = grid._axes
+            cg = ConstMetricGrid(
+                float(ax[0].extent / max(grid.Nx, 1)),
+                float(ax[1].extent / max(grid.Ny, 1)),
+                float(ax[2].extent / max(grid.Nz, 1)) if grid.Nz > 1 else 1.0)
+            fuser = pallas_fuse(lambda uu, vv, ww: (op.div_ccc(uu, vv, ww, cg),),
+                                grid, 1)
+        if fuser is not None:
+            div = fuser(u, v, w)[0]
+        else:
+            div = op.div_ccc(u, v, w, grid)
         rhs = grid.interior(div) / dt
         phi_int = self.pressure_solver.solve(rhs)
         pNHS = jnp.zeros(grid.total_shape, grid.dtype)
         sl = tuple(slice(h, h + n) for h, n in zip(grid.halo, grid.shape))
         pNHS = pNHS.at[sl].set(phi_int)
         pNHS = fill_halos(pNHS, grid, CENTER, self.pressure_bcs)
-        u = u - dt * st.dxf(pNHS) / grid.dx(U_LOC)
-        v = v - dt * st.dyf(pNHS) / grid.dy(V_LOC)
-        w = w - dt * st.dzf(pNHS) / grid.dz(W_LOC)
+        gfuser = None
+        if self.fused_advection:
+            gfuser = pallas_fuse(
+                lambda p: (st.dxf(p) / cg.dx(U_LOC), st.dyf(p) / cg.dy(V_LOC),
+                           st.dzf(p) / cg.dz(W_LOC)), grid, 3)
+        if gfuser is not None:
+            gx, gy, gz = gfuser(pNHS)
+        else:
+            gx = st.dxf(pNHS) / grid.dx(U_LOC)
+            gy = st.dyf(pNHS) / grid.dy(V_LOC)
+            gz = st.dzf(pNHS) / grid.dz(W_LOC)
+        u = u - dt * gx
+        v = v - dt * gy
+        w = w - dt * gz
         sol = dict(sol, u=u, v=v, w=w)
         return dict(state, solution=sol, pNHS=pNHS)
 

@@ -129,3 +129,30 @@ def test_bounds_preserving_weno_limits_overshoot():
     lo = np.minimum(np.asarray(c)[0, 0, 3:-5], np.asarray(c)[0, 0, 4:-4])
     hi = np.maximum(np.asarray(c)[0, 0, 3:-5], np.asarray(c)[0, 0, 4:-4])
     assert np.all(rec >= lo - 1e-14) and np.all(rec <= hi + 1e-14)
+
+
+def test_interpolate_and_regrid_and_function_field():
+    from clima_oceananigans_jl_tpu.fields.field import (
+        CenterField, FunctionField, interpolate, regrid, set_field,
+    )
+    from clima_oceananigans_jl_tpu import BOUNDED
+    g1 = RectilinearGrid(size=(16, 16, 8), extent=(1, 1, 1),
+                         topology=(PERIODIC, PERIODIC, BOUNDED), dtype=jnp.float64)
+    g2 = RectilinearGrid(size=(32, 32, 16), extent=(1, 1, 1),
+                         topology=(PERIODIC, PERIODIC, BOUNDED), dtype=jnp.float64)
+    f = set_field(CenterField(g1), g1, lambda x, y, z: x + 2 * y - z)
+    # pointwise trilinear interpolation is exact for a linear field
+    assert abs(float(interpolate(f, g1, 0.3, 0.4, 0.5)) - (0.3 + 0.8 - 0.5)) < 1e-12
+    # regrid onto the finer grid
+    f2 = regrid(f, g1, g2)
+    got = np.asarray(g2.interior(f2.data))
+    xc = np.asarray(g2.coord(0, "c")); yc = np.asarray(g2.coord(1, "c"))
+    zc = np.asarray(g2.coord(2, "c"))
+    expect = xc[:, None, None] + 2 * yc[None, :, None] - zc[None, None, :]
+    # away from the periodic wrap edges (the test function is not periodic,
+    # so edge cells legitimately blend wrapped halo values) it is exact
+    assert np.allclose(got[2:-2, 2:-2, 2:-2], expect[2:-2, 2:-2, 2:-2],
+                       atol=1e-10)
+    ff = FunctionField(lambda x, y, z: jnp.sin(x), time_dependent=False)
+    assert np.allclose(np.asarray(g1.interior(ff.at_time(g1).data))[:, 0, 0],
+                       np.sin(np.asarray(g1.coord(0, "c"))))
