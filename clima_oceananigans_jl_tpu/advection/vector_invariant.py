@@ -22,11 +22,20 @@ from ..utils.location import C, F, U_LOC, V_LOC, CENTER
 
 @dataclasses.dataclass(frozen=True)
 class VectorInvariant:
-    """scheme: 'enstrophy' (default) or 'energy' conserving vorticity term."""
+    """scheme: 'enstrophy' (default), 'energy' conserving, or 'weno'
+    (upwinded WENO reconstruction of the vorticity along the transport
+    direction — the reference's WENOVectorInvariant,
+    vector_invariant_advection.jl `vertical_vorticity_U/V` WENO methods)."""
 
     scheme: str = "enstrophy"
 
-    required_halo = 2
+    @property
+    def required_halo(self):
+        return 3 if self.scheme == "weno" else 2
+
+    def _weno(self):
+        from .schemes import WENO5
+        return WENO5()
 
     def U_dot_grad_u(self, grid, u, v, w):
         """U·∇u at (F,C,C)."""
@@ -34,6 +43,13 @@ class VectorInvariant:
         dx_v = grid.dx((C, F, C)) * v
         if self.scheme == "energy":
             vort = -st.iyc(zeta * st.ixf(dx_v)) / grid.dx(U_LOC)
+        elif self.scheme == "weno":
+            from .schemes import upwind_biased_product
+            wn = self._weno()
+            v_hat = st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
+            zl = wn.left_to_c(zeta, 1)    # ζ reconstructed to (F,C) along y
+            zr = wn.right_to_c(zeta, 1)
+            vort = -upwind_biased_product(v_hat, zl, zr)
         else:  # enstrophy conserving
             vort = -st.iyc(zeta) * st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
         # vertical advection: ℑzᶜ( ℑxᶠ(Az w) ∂zᶠᶜᶠ u ) / Azᶠᶜᶜ
@@ -51,6 +67,13 @@ class VectorInvariant:
         dy_u = grid.dy((F, C, C)) * u
         if self.scheme == "energy":
             vort = st.ixc(zeta * st.iyf(dy_u)) / grid.dy(V_LOC)
+        elif self.scheme == "weno":
+            from .schemes import upwind_biased_product
+            wn = self._weno()
+            u_hat = st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)
+            zl = wn.left_to_c(zeta, 0)    # ζ reconstructed to (C,F) along x
+            zr = wn.right_to_c(zeta, 0)
+            vort = upwind_biased_product(u_hat, zl, zr)
         else:
             vort = st.ixc(zeta) * st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)
         az_w = grid.Az((C, C, F)) * w

@@ -159,3 +159,28 @@ def test_latlon_hydrostatic_runs():
     for name in ("u", "v", "b"):
         assert np.all(np.isfinite(np.asarray(state["solution"][name]))), name
     assert np.all(np.isfinite(np.asarray(state["eta"])))
+
+
+def test_weno_vector_invariant_runs_and_tracks_enstrophy_scheme():
+    """WENOVectorInvariant analog: stable and close to the enstrophy-
+    conserving scheme on a smooth flow."""
+    from clima_oceananigans_jl_tpu.advection.vector_invariant import VectorInvariant
+    g = RectilinearGrid(size=(32, 32, 4), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                        z=(-1, 0), topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    results = {}
+    for scheme in ("enstrophy", "weno"):
+        model = HydrostaticFreeSurfaceModel(
+            grid=g, free_surface=ImplicitFreeSurface(G_EARTH),
+            momentum_advection=VectorInvariant(scheme))
+        state = model.initial_state(
+            u=lambda x, y, z: 0.1 * jnp.sin(x) * jnp.cos(y),
+            v=lambda x, y, z: -0.1 * jnp.cos(x) * jnp.sin(y))
+        step = jax.jit(model.step)
+        for _ in range(10):
+            state = step(state, jnp.float64(1e-2))
+        results[scheme] = np.asarray(model.grid.interior(state["solution"]["u"]))
+    assert np.all(np.isfinite(results["weno"]))
+    diff = np.abs(results["weno"] - results["enstrophy"]).max()
+    scale = np.abs(results["enstrophy"]).max()
+    assert diff < 0.05 * scale  # smooth flow: schemes agree closely
