@@ -119,11 +119,29 @@ class UpwindBiasedFifthOrder(AdvectionScheme):
 class WENO5(AdvectionScheme):
     """5th-order WENO (Jiang & Shu smoothness weights), uniform-grid
     coefficients (reference weno_fifth_order.jl; stretched-grid ENO
-    tables are a planned extension)."""
+    tables are a planned extension).
+
+    ``fast_bf16=True`` evaluates the nonlinear reconstruction in
+    bfloat16 (the TPU VPU's double-rate dtype) and casts the result back
+    — the smoothness weights are heuristic, so this trades ~3 decimal
+    digits of the reconstruction for roughly half the compute of the
+    dominant kernel. Off by default (benchmarks and parity tests run
+    full fp32/fp64)."""
 
     buffer: int = 2
     is_upwind: bool = True
     eps: float = 1e-6
+    fast_bf16: bool = False
+
+    def left_to_f(self, c, axis):
+        if self.fast_bf16:
+            return self._weno_left(c.astype(jnp.bfloat16), axis).astype(c.dtype)
+        return self._weno_left(c, axis)
+
+    def right_to_f(self, c, axis):
+        if self.fast_bf16:
+            return self._weno_right(c.astype(jnp.bfloat16), axis).astype(c.dtype)
+        return self._weno_right(c, axis)
 
     def _weno_left(self, v, axis):
         s = lambda n: shift(v, n, axis)
@@ -159,12 +177,6 @@ class WENO5(AdvectionScheme):
         g1 = 0.6 * (t0 * t2)
         g2 = 0.3 * (t0 * t1)
         return (g0 * p0 + g1 * p1 + g2 * p2) / (g0 + g1 + g2)
-
-    def left_to_f(self, c, axis):
-        return self._weno_left(c, axis)
-
-    def right_to_f(self, c, axis):
-        return self._weno_right(c, axis)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -156,3 +156,17 @@ def test_interpolate_and_regrid_and_function_field():
     ff = FunctionField(lambda x, y, z: jnp.sin(x), time_dependent=False)
     assert np.allclose(np.asarray(g1.interior(ff.at_time(g1).data))[:, 0, 0],
                        np.sin(np.asarray(g1.coord(0, "c"))))
+
+
+def test_weno_bf16_fast_mode_close_to_f32():
+    from clima_oceananigans_jl_tpu.advection.fluxes import div_Uc
+    from clima_oceananigans_jl_tpu import BOUNDED
+    g = RectilinearGrid(size=(16, 16, 8), extent=(1, 1, 1),
+                        topology=(PERIODIC, PERIODIC, BOUNDED), dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    u, v, w, c = (jax.random.normal(k, g.total_shape, jnp.float64) for k in ks)
+    ref = np.asarray(g.interior(div_Uc(g, WENO5(), u, v, w, c)))
+    fast = np.asarray(g.interior(div_Uc(g, WENO5(fast_bf16=True), u, v, w, c)))
+    scale = np.abs(ref).max()
+    assert np.abs(fast - ref).max() < 0.05 * scale  # bf16 reconstruction ≈ f32
