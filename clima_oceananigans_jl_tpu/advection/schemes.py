@@ -181,10 +181,13 @@ class WENO5(AdvectionScheme):
 
 @dataclasses.dataclass(frozen=True)
 class BoundsPreservingWENO5(WENO5):
-    """WENO5 with a monotonicity clip of the reconstructed face values to
-    the adjacent cell range — the bound/positivity-preserving limiter of
-    the reference (positivity_preserving_tracer_advection_operators.jl):
-    a tracer field that starts within [m, M] stays within [m, M]."""
+    """WENO5 with a monotonicity-limited reconstruction: face values are
+    clipped to the adjacent-cell range, in the spirit of the reference's
+    positivity-preserving limiter
+    (positivity_preserving_tracer_advection_operators.jl). This limits
+    reconstruction overshoot and is bounds-preserving under a CFL
+    restriction; it does not limit the fluxes themselves, so global
+    [m, M] bounds are not strictly guaranteed at large CFL."""
 
     def _clip(self, rec, c, axis, to_f):
         if to_f:

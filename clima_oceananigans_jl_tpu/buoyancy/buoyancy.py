@@ -112,11 +112,34 @@ def buoyancy_z_term(buoyancy, grid, tracers, w):
     return -gz * st.izf(b)
 
 
+def buoyancy_x_term(buoyancy, grid, tracers):
+    """x_dot_g_b at (F,C,C) for tilted gravity (reference g_dot_b.jl:
+    ĝ_x·b with ĝ the *upward* unit vector; our stored gravity_unit_vector
+    points down, hence the sign flip). Zero (None) when gravity is ẑ."""
+    gx = buoyancy.gravity_unit_vector[0]
+    if gx == 0.0:
+        return None
+    return -gx * st.ixf(buoyancy.buoyancy_perturbation(grid, tracers))
+
+
+def buoyancy_y_term(buoyancy, grid, tracers):
+    """y_dot_g_b at (C,F,C) for tilted gravity (see buoyancy_x_term)."""
+    gy = buoyancy.gravity_unit_vector[1]
+    if gy == 0.0:
+        return None
+    return -gy * st.iyf(buoyancy.buoyancy_perturbation(grid, tracers))
+
+
 def hydrostatic_pressure_anomaly(buoyancy, grid, tracers):
-    """pHY′ at centers from downward integration of b̄ᶻ
+    """pHY′ at centers from downward integration of z_dot_g_b = ĝ_z b̄ᶻ
     (reference update_hydrostatic_pressure.jl): with-halo array, halos
-    zero-gradient filled by the caller."""
+    zero-gradient filled by the caller. For tilted gravity only the
+    vertical component enters pHY′; the x/y components are direct
+    tendency terms (buoyancy_x_term / buoyancy_y_term)."""
     b = buoyancy.buoyancy_perturbation(grid, tracers)
+    gz = buoyancy.gravity_unit_vector[2]
+    if gz != -1.0:
+        b = -gz * b
     b_f = st.izf(b)                    # at (C,C,F): face k between centers k−1,k
     from ..utils.location import W_LOC
     S = b_f * grid.dz(W_LOC)           # b̄(k)·Δzᶠ(k) at faces

@@ -104,12 +104,15 @@ class ConstantCartesianCoriolis:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class HydrostaticSphericalCoriolis:
-    """f = 2Ω sin φ on a lat-lon grid, enstrophy-conserving discretization
-    (reference hydrostatic_spherical_coriolis.jl): f lives at vorticity
-    points (F,F,·); the cross-product terms are metric-weighted averages
-    so that the discrete Coriolis force conserves enstrophy."""
+    """f = 2Ω sin φ on a lat-lon grid with f at vorticity points (F,F,·)
+    (reference hydrostatic_spherical_coriolis.jl). ``scheme`` selects the
+    discretization: "energy" (default, f·ℑv averaged together — conserves
+    energy under vector-invariant advection, ref :55-65) or "enstrophy"
+    (f averaged separately from the doubly-averaged transport, ref
+    :41-49 — conserves enstrophy)."""
 
     rotation_rate: float = 7.292115e-5  # Ω_Earth [s⁻¹]
+    scheme: str = "energy"
 
     def _f_ff(self, grid):
         import numpy as np
@@ -118,21 +121,27 @@ class HydrostaticSphericalCoriolis:
 
     def x_f_cross_U(self, grid, u, v, w):
         f = self._f_ff(grid)
-        return -st.iyc(f * st.ixf(grid.dx((C, F, C)) * v)) / grid.dx(U_LOC)
+        dxv = grid.dx((C, F, C)) * v
+        if self.scheme == "enstrophy":
+            return -st.iyc(f) * st.ixf(st.iyc(dxv)) / grid.dx(U_LOC)
+        return -st.iyc(f * st.ixf(dxv)) / grid.dx(U_LOC)
 
     def y_f_cross_U(self, grid, u, v, w):
         f = self._f_ff(grid)
-        return st.ixc(f * st.iyf(grid.dy((F, C, C)) * u)) / grid.dy(V_LOC)
+        dyu = grid.dy((F, C, C)) * u
+        if self.scheme == "enstrophy":
+            return st.ixc(f) * st.iyf(st.ixc(dyu)) / grid.dy(V_LOC)
+        return st.ixc(f * st.iyf(dyu)) / grid.dy(V_LOC)
 
     def z_f_cross_U(self, grid, u, v, w):
         return jnp.zeros_like(w)
 
     def tree_flatten(self):
-        return (self.rotation_rate,), ()
+        return (self.rotation_rate,), (self.scheme,)
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        return cls(*leaves)
+        return cls(leaves[0], scheme=static[0])
 
 
 @jax.tree_util.register_pytree_node_class

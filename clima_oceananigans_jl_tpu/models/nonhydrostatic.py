@@ -223,6 +223,16 @@ class NonhydrostaticModel:
             Gu = Gu - st.dxf(ph) / grid.dx(U_LOC)
             Gv = Gv - st.dyf(ph) / grid.dy(V_LOC)
             # Gw: buoyancy − ∂z pHY′ ≡ 0 by construction (see module docstring)
+            # tilted gravity: x/y components are direct tendency terms
+            # (reference nonhydrostatic_tendency_kernel_functions.jl:70,127)
+            from ..buoyancy.buoyancy import buoyancy_x_term, buoyancy_y_term
+            tr_d = {n: sol[n] for n in self.tracer_names}
+            bx = buoyancy_x_term(self.buoyancy, grid, tr_d)
+            by = buoyancy_y_term(self.buoyancy, grid, tr_d)
+            if bx is not None:
+                Gu = Gu + bx
+            if by is not None:
+                Gv = Gv + by
 
         if self.stokes_drift is not None:
             Gu = Gu + self.stokes_drift.x_curl_Us_cross_U(grid, u, v, w, clock.time)

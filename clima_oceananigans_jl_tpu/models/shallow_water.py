@@ -189,9 +189,10 @@ class ShallowWaterModel:
 
             args = [uh, vh, h] + tracer_arrays + ([hB] if hB is not None else [])
             fused = pallas_fuse(core, grid, 3 + len(tracer_arrays))
-            outs = (fused(*args) if fused is not None else
-                    _core_tendencies(grid, scheme, self.tracer_advection, g,
-                                     uh, vh, h, tracer_arrays, self.bathymetry))
+            outs = fused(*args) if fused is not None else None
+            if outs is None:  # no legal tiling for this dtype → jnp path
+                outs = _core_tendencies(grid, scheme, self.tracer_advection, g,
+                                        uh, vh, h, tracer_arrays, self.bathymetry)
         else:
             outs = _core_tendencies(grid, scheme, self.tracer_advection, g,
                                     uh, vh, h, tracer_arrays, self.bathymetry)

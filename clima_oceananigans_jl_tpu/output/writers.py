@@ -146,22 +146,29 @@ class WindowedTimeAverage:
         self._sum = None
         self._wsum = 0.0
         self._last_t = None
+        self._last_val = None
 
     def __call__(self, sim):
         t = sim.model_time()
-        val = self.fetch(sim)
+        val = np.asarray(self.fetch(sim))
+        self._last_val = val
         if self._last_t is None or self._sum is None:
-            self._sum = np.zeros_like(np.asarray(val))
+            self._sum = np.zeros_like(val)
             self._wsum = 0.0
         else:
             dt = t - self._last_t
-            self._sum = self._sum + dt * np.asarray(val)
+            self._sum = self._sum + dt * val
             self._wsum += dt
         self._last_t = t
 
     def result(self):
         if self._wsum == 0.0:
-            return self._sum
+            # fired before any accumulation (or right after a reset):
+            # fall back to the latest instantaneous fetch
+            if getattr(self, "_last_val", None) is None:
+                raise RuntimeError("WindowedTimeAverage.result() called "
+                                   "before any sample was accumulated")
+            return self._last_val
         out = self._sum / self._wsum
         self._sum = np.zeros_like(self._sum)
         self._wsum = 0.0

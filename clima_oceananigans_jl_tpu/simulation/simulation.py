@@ -97,8 +97,10 @@ class Simulation:
         self._compiled_step = jax.jit(model.step)
 
     def _default_nan_fields(self):
-        names = getattr(self.model, "prognostic_names", lambda: ())()
-        return names[:1] if names else ()
+        # monitor every prognostic field (reference nan_checker.jl checks a
+        # field set, default all velocities+tracers); one fused jnp.isnan
+        # reduction per field is cheap at the 100-iteration cadence
+        return getattr(self.model, "prognostic_names", lambda: ())()
 
     # -- clock access ---------------------------------------------------------
     def model_time(self):

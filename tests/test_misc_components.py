@@ -170,3 +170,56 @@ def test_weno_bf16_fast_mode_close_to_f32():
     fast = np.asarray(g.interior(div_Uc(g, WENO5(fast_bf16=True), u, v, w, c)))
     scale = np.abs(ref).max()
     assert np.abs(fast - ref).max() < 0.05 * scale  # bf16 reconstruction ≈ f32
+
+
+def test_teos10_published_check_value():
+    """Roquet et al. (2015) polyTEOS10-bsq check value:
+    rho(SA=30 g/kg, CT=10 C, Z=-1000 m) = 1027.45140 kg/m3."""
+    from clima_oceananigans_jl_tpu.buoyancy.nonlinear_eos import (
+        TEOS10EquationOfState)
+    eos = TEOS10EquationOfState()
+    rho = float(eos.density(jnp.float64(10.0), jnp.float64(30.0),
+                            jnp.float64(-1000.0)))
+    assert abs(rho - 1027.45140) < 1e-4
+    # physically sensible expansion/contraction coefficients at (15 C, 35)
+    alpha = -float(jax.grad(lambda T: eos.density(T, 35.0, 0.0))(15.0)) / 1025.0
+    beta = float(jax.grad(lambda S: eos.density(15.0, S, 0.0))(35.0)) / 1025.0
+    assert 1.5e-4 < alpha < 3e-4
+    assert 7e-4 < beta < 8e-4
+
+
+def test_teos10_in_model_runs():
+    from clima_oceananigans_jl_tpu.buoyancy.nonlinear_eos import (
+        TEOS10EquationOfState)
+    from clima_oceananigans_jl_tpu import BOUNDED
+    g = RectilinearGrid(size=(8, 8, 8), extent=(100., 100., 100.),
+                        topology=(PERIODIC, PERIODIC, BOUNDED))
+    buoy = SeawaterBuoyancy(equation_of_state=TEOS10EquationOfState())
+    model = NonhydrostaticModel(g, buoyancy=buoy)
+    assert set(model.tracer_names) == {"T", "S"}
+    state = model.initial_state(T=lambda x, y, z: 15.0 + 1e-3 * z,
+                                S=lambda x, y, z: 35.0)
+    state = jax.jit(model.step)(state, 1.0)
+    assert np.isfinite(np.asarray(state["solution"]["w"])).all()
+
+
+def test_tilted_gravity_buoyancy_terms():
+    """Constant b with tilted gravity accelerates flow along the tilt:
+    Gu = gx_up*b, Gv = gy_up*b (reference g_dot_b.jl +
+    nonhydrostatic_tendency_kernel_functions.jl:70,127)."""
+    import math
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu import BOUNDED
+    theta = math.radians(30.0)
+    # stored vector points *down* (our convention): up-vector is its negation
+    ghat = (-math.sin(theta), 0.0, -math.cos(theta))
+    g = RectilinearGrid(size=(8, 4, 8), extent=(1., 1., 1.),
+                        topology=(PERIODIC, PERIODIC, BOUNDED))
+    model = NonhydrostaticModel(g, buoyancy=BuoyancyTracer(gravity_unit_vector=ghat))
+    b0 = 0.37
+    state = model.initial_state(b=b0)
+    G = model.tendencies(state)
+    gg = model.grid
+    np.testing.assert_allclose(np.asarray(gg.interior(G["u"])),
+                               math.sin(theta) * b0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg.interior(G["v"])), 0.0, atol=1e-12)
