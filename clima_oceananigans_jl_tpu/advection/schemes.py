@@ -24,7 +24,9 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 
+from ..grids.topology import BOUNDED
 from ..ops.stencil import shift, ic, if_, i4c, i4f
 
 
@@ -218,17 +220,75 @@ def upwind_biased_product(vel, left, right):
     return 0.5 * ((vel + jnp.abs(vel)) * left + (vel - jnp.abs(vel)) * right)
 
 
-def transport(scheme, vel, c, axis, to_f):
+def reduced_order_masks(grid, axis, scheme):
+    """Static near-boundary masks for high-order reconstruction along a
+    BOUNDED axis — the whole-array analog of the reference's
+    topologically_conditional_interpolation.jl:17-21 buffer predicates.
+
+    Returns None when no reduction applies (periodic/flat axis, or a
+    scheme whose stencil already fits, required_halo ≤ 1); otherwise a
+    (sym, left, right) triple of (lo, hi) *inclusive with-halo index
+    bounds* of the region where the full-order stencil reads only
+    interior (+first-ghost) cells. Outside, `transport` falls back to
+    second-order centered interpolation, exactly like the reference.
+    Bounds (not mask arrays) so the select can be built in-kernel with
+    `broadcasted_iota` — Pallas kernels cannot capture array constants.
+
+    Duck-typed: grids without a `.topology` (the fused kernels'
+    ConstMetricGrid) may supply precomputed bounds via `.reduced_masks`
+    (a dict (axis, required_halo) → triple); only legal for axes whose
+    kernel window spans the full array (bounds are absolute positions)."""
+    Nb = scheme.required_halo
+    if Nb <= 1:
+        return None
+    topo = getattr(grid, "topology", None)
+    if topo is None:
+        rm = getattr(grid, "reduced_masks", None)
+        return rm.get((axis, Nb)) if rm else None
+    if topo[axis] is not BOUNDED:
+        return None
+    N = grid.shape[axis]
+    H = grid.halo[axis]
+    # reference outside_*_buffer (1-based face/center index i = idx-H+1):
+    #   symmetric: Nb+1 ≤ i ≤ N-Nb;  left: Nb+1 ≤ i ≤ N+1-Nb;
+    #   right: Nb ≤ i ≤ N-Nb
+    return ((H + Nb, H + N - Nb - 1),
+            (H + Nb, H + N - Nb),
+            (H + Nb - 1, H + N - Nb - 1))
+
+
+def _select_reduced(bounds, axis, hi_arr, lo_arr):
+    """hi_arr inside [lo, hi] along `axis`, lo_arr outside (static bounds
+    → the compare folds to a constant mask under XLA)."""
+    import jax.lax as lax
+    lo, hi = bounds
+    idx = lax.broadcasted_iota(jnp.int32, hi_arr.shape, axis)
+    return jnp.where((idx >= lo) & (idx <= hi), hi_arr, lo_arr)
+
+
+def transport(scheme, vel, c, axis, to_f, grid=None):
     """Advective transport vel·ψ at the flux location along `axis`.
 
     `to_f=True`: flux face-located along axis (c centered there); else the
     reverse (c face-located, flux at centers). `vel` must already live at
-    the flux location.
+    the flux location. When `grid` is given and the axis is BOUNDED,
+    high-order reconstructions drop to second-order centered within
+    `required_halo` cells of the walls (reference
+    topologically_conditional_interpolation.jl).
     """
+    masks = reduced_order_masks(grid, axis, scheme) if grid is not None else None
     if not scheme.is_upwind:
-        return vel * (scheme.sym_to_f(c, axis) if to_f else scheme.sym_to_c(c, axis))
+        hi = scheme.sym_to_f(c, axis) if to_f else scheme.sym_to_c(c, axis)
+        if masks is not None:
+            hi = _select_reduced(masks[0], axis, hi,
+                                 if_(c, axis) if to_f else ic(c, axis))
+        return vel * hi
     if to_f:
-        return upwind_biased_product(
-            vel, scheme.left_to_f(c, axis), scheme.right_to_f(c, axis))
-    return upwind_biased_product(
-        vel, scheme.left_to_c(c, axis), scheme.right_to_c(c, axis))
+        L, R = scheme.left_to_f(c, axis), scheme.right_to_f(c, axis)
+    else:
+        L, R = scheme.left_to_c(c, axis), scheme.right_to_c(c, axis)
+    if masks is not None:
+        lo = if_(c, axis) if to_f else ic(c, axis)
+        L = _select_reduced(masks[1], axis, L, lo)
+        R = _select_reduced(masks[2], axis, R, lo)
+    return upwind_biased_product(vel, L, R)

@@ -42,14 +42,14 @@ def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
     core: pure stencil math over any grid-metric provider)."""
     u_cc = st.ixc(uh)
     v_ff = st.ixf(vh)
-    flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False) / h
-    flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True) / _ixyff(h)
+    flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False, grid) / h
+    flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True, grid) / _ixyff(h)
     div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
 
     u_ff = st.iyf(uh)
     v_cc = st.iyc(vh)
-    flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True) / _ixyff(h)
-    flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False) / h
+    flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True, grid) / _ixyff(h)
+    flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False, grid) / h
     div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
 
     half_g_h2 = 0.5 * g * h * h
@@ -65,8 +65,8 @@ def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
 
     Gcs = []
     for c in tracers:
-        fx = grid.Ax(U_LOC) * transport(tracer_scheme, uh, c, 0, True)
-        fy = grid.Ay(V_LOC) * transport(tracer_scheme, vh, c, 1, True)
+        fx = grid.Ax(U_LOC) * transport(tracer_scheme, uh, c, 0, True, grid)
+        fy = grid.Ay(V_LOC) * transport(tracer_scheme, vh, c, 1, True, grid)
         div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
         Gcs.append(-div_Uc + c * (-Gh))
     return (Guh, Gvh, Gh, *Gcs)
@@ -88,7 +88,11 @@ class ShallowWaterModel:
                                  else self.advection)
         h_req = max(self.advection.required_halo, self.tracer_advection.required_halo)
         import jax as _jax
-        want_fused = (_jax.default_backend() == "tpu" and not grid.curvilinear)
+        from ..grids.topology import BOUNDED
+        # bounded x is incompatible with the tiled fused kernel (absolute
+        # near-boundary order-reduction masks); bounded y is fine (full rows)
+        want_fused = (_jax.default_backend() == "tpu" and not grid.curvilinear
+                      and grid.topology[0] is not BOUNDED)
         # fused 2D Pallas tiles need the x-window (sublane dim) to be a
         # multiple of 8, so pad the x-halo to a multiple of 4
         hx = -(-h_req // 4) * 4 if want_fused else h_req
@@ -174,10 +178,19 @@ class ShallowWaterModel:
             from ..ops import fused_tendencies as _ft
             ConstMetricGrid, pallas_fuse = _ft.ConstMetricGrid, _ft.pallas_fuse
             ax = grid._axes
+            # bounded-y order-reduction masks ride into the kernel (the 2D
+            # path keeps y full-width); bounded x is rejected at model build
+            from ..advection.schemes import reduced_order_masks
+            rmasks = {}
+            for sch in (scheme, self.tracer_advection):
+                m = reduced_order_masks(grid, 1, sch)
+                if m is not None:
+                    rmasks[(1, sch.required_halo)] = m
             cg = ConstMetricGrid(
                 float(ax[0].extent / max(grid.Nx, 1)),
                 float(ax[1].extent / max(grid.Ny, 1)),
-                float(ax[2].extent / max(grid.Nz, 1)) if grid.Nz > 1 else 1.0)
+                float(ax[2].extent / max(grid.Nz, 1)) if grid.Nz > 1 else 1.0,
+                reduced_masks=rmasks or None)
             hB = self.bathymetry
             n_extra = 1 if hB is not None else 0
 

@@ -33,11 +33,17 @@ from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 
 @dataclasses.dataclass(frozen=True)
 class ConstMetricGrid:
-    """Minimal metric protocol with compile-time-constant spacings."""
+    """Minimal metric protocol with compile-time-constant spacings.
+
+    ``reduced_masks`` optionally carries near-boundary order-reduction
+    masks keyed by (axis, required_halo) — only legal for axes whose
+    kernel window spans the full array dimension (z in the 3D kernel,
+    y in the 2D kernel), since the masks are absolute positions."""
 
     ddx: float
     ddy: float
     ddz: float
+    reduced_masks: object = None
 
     def spacing(self, axis, loc):
         return (self.ddx, self.ddy, self.ddz)[axis]
@@ -65,7 +71,12 @@ class ConstMetricGrid:
 
 
 def supports_fused_advection(grid):
+    # x/y must not be BOUNDED: near-boundary order-reduction masks are
+    # absolute positions, which the tiled x/y windows cannot express
+    from ..grids.topology import BOUNDED
     return (not grid.curvilinear and grid.all_regular
+            and grid.topology[0] is not BOUNDED
+            and grid.topology[1] is not BOUNDED
             and grid.Hy >= 1 and grid.Nz >= 1)
 
 
@@ -216,9 +227,18 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
     hx, hy, hz = grid.halo
     zt = nz + 2 * hz
     ax = grid._axes
+    # near-boundary order reduction along z (full-window axis): absolute
+    # masks are legal there; supports_fused_advection() rejects bounded x/y
+    from ..advection.schemes import reduced_order_masks
+    rmasks = {}
+    for sch in (scheme, tracer_scheme):
+        m = reduced_order_masks(grid, 2, sch)
+        if m is not None:
+            rmasks[(2, sch.required_halo)] = m
     cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
                          float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
-                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0)
+                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
+                         reduced_masks=rmasks or None)
     tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=u.dtype.itemsize)
     names = list(tracers)
     n_out = 3 + len(names)
