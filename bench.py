@@ -48,12 +48,14 @@ def main():
 
     state = step(state, dt)  # compile + warmup
     state = step(state, dt)
-    jax.block_until_ready(state)
+    # explicit value fetch: under the axon relay block_until_ready does not
+    # always block, so sync with a real device round-trip
+    float(state["solution"]["u"][N // 2, N // 2, N // 2])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state = step(state, dt)
-    jax.block_until_ready(state)
+    float(state["solution"]["u"][N // 2, N // 2, N // 2])
     elapsed = time.perf_counter() - t0
 
     per_step = elapsed / STEPS

@@ -180,6 +180,51 @@ class WENO5(AdvectionScheme):
         g2 = 0.3 * (t0 * t1)
         return (g0 * p0 + g1 * p1 + g2 * p2) / (g0 + g1 + g2)
 
+    def left_right_to_f(self, c, axis):
+        """Both biased reconstructions at once with shared subexpressions:
+        first/second differences (d1, d2) and the 13/12·d2² smoothness
+        terms are common to the left and right stencils at a face —
+        ~30% fewer VPU ops than two independent evaluations. Bitwise
+        equality with left_to_f/right_to_f is NOT guaranteed (float
+        reassociation); both paths are 5th-order JS-WENO."""
+        if self.fast_bf16:
+            l, r = self._weno_lr(c.astype(jnp.bfloat16), axis)
+            return l.astype(c.dtype), r.astype(c.dtype)
+        return self._weno_lr(c, axis)
+
+    def left_right_to_c(self, u, axis):
+        l, r = self.left_right_to_f(u, axis)
+        return shift(l, 1, axis), shift(r, 1, axis)
+
+    def _weno_lr(self, c, axis):
+        s = lambda a, n: shift(a, n, axis)
+        d1 = c - s(c, -1)            # d1[i] = c[i] − c[i−1]
+        d2 = s(d1, 1) - d1           # d2[i] = c[i+1] − 2c[i] + c[i−1]
+        t = (13.0 / 12.0) * d2 * d2  # shared β leading term per cell
+        d1m2, d1m1, d10, d1p1 = s(d1, -2), s(d1, -1), d1, s(d1, 1)
+        d2m2, d2m1, d20, d2p1 = s(d2, -2), s(d2, -1), d2, s(d2, 1)
+        tm2, tm1, t0_, tp1 = s(t, -2), s(t, -1), t, s(t, 1)
+        cm1, c0, cp1 = s(c, -1), c, s(c, 1)
+
+        # left at face i (cells i−3..i+1)
+        b0L = tm2 + 0.25 * (d2m2 + 2.0 * d1m1) ** 2
+        b1L = tm1 + 0.25 * (d1m1 + d10) ** 2
+        b2L = t0_ + 0.25 * (d20 - 2.0 * d10) ** 2
+        p0L = cm1 + (5.0 * d1m1 - 2.0 * d1m2) / 6.0
+        p1L = cm1 + (2.0 * d10 + d1m1) / 6.0
+        p2L = cm1 + (4.0 * d10 - d1p1) / 6.0
+
+        # right at face i (cells i−2..i+2, mirrored)
+        b0R = tp1 + 0.25 * (d2p1 - 2.0 * d1p1) ** 2
+        b1R = t0_ + 0.25 * (d1p1 + d10) ** 2
+        b2R = tm1 + 0.25 * (d2m1 + 2.0 * d10) ** 2
+        p0R = c0 - (5.0 * d1p1 - 2.0 * s(d1, 2)) / 6.0
+        p1R = c0 - (2.0 * d10 + d1p1) / 6.0
+        p2R = c0 - (4.0 * d10 - d1m1) / 6.0
+
+        return (self._combine(p0L, p1L, p2L, b0L, b1L, b2L),
+                self._combine(p0R, p1R, p2R, b0R, b1R, b2R))
+
 
 @dataclasses.dataclass(frozen=True)
 class BoundsPreservingWENO5(WENO5):
@@ -211,6 +256,14 @@ class BoundsPreservingWENO5(WENO5):
 
     def right_to_c(self, u, axis):
         return self._clip(super().right_to_c(u, axis), u, axis, False)
+
+    def left_right_to_f(self, c, axis):
+        l, r = super().left_right_to_f(c, axis)
+        return (self._clip(l, c, axis, True), self._clip(r, c, axis, True))
+
+    def left_right_to_c(self, u, axis):
+        l, r = super().left_right_to_c(u, axis)
+        return (self._clip(l, u, axis, False), self._clip(r, u, axis, False))
 
 
 def upwind_biased_product(vel, left, right):
@@ -283,7 +336,10 @@ def transport(scheme, vel, c, axis, to_f, grid=None):
             hi = _select_reduced(masks[0], axis, hi,
                                  if_(c, axis) if to_f else ic(c, axis))
         return vel * hi
-    if to_f:
+    if hasattr(scheme, "left_right_to_f"):  # shared-subexpression pair
+        L, R = (scheme.left_right_to_f(c, axis) if to_f
+                else scheme.left_right_to_c(c, axis))
+    elif to_f:
         L, R = scheme.left_to_f(c, axis), scheme.right_to_f(c, axis)
     else:
         L, R = scheme.left_to_c(c, axis), scheme.right_to_c(c, axis)

@@ -285,9 +285,93 @@ class NonhydrostaticModel:
         return G
 
     # -- pressure projection --------------------------------------------------
+    def _fast_projection_ok(self):
+        """Halo-free projection path: periodic x/y (divergence/gradient via
+        rolls on interior views), regular spacing, single shard, no
+        immersed masking, and w-wall BCs expressible as imposed values.
+        All static metadata — resolves at trace time."""
+        from ..grids.topology import BOUNDED, PERIODIC
+        g = self.grid
+        if not (g.all_regular
+                and getattr(g, "dist", (None, None, None)) == (None, None, None)
+                and g.topology[0] is PERIODIC and g.topology[1] is PERIODIC
+                and g.topology[2] in (PERIODIC, BOUNDED)
+                and self.immersed_boundary is None):
+            return False
+        if g.topology[2] is BOUNDED:
+            for bc in (self.bcs["w"].bottom, self.bcs["w"].top):
+                if bc is not None and bc.kind not in ("open", "value"):
+                    return False
+        return True
+
+    def _wall_plane(self, bc, side, t):
+        """w's wall-face BC value on the interior (Nx, Ny) plane."""
+        from ..boundary_conditions.bcs import _bvalue
+        g = self.grid
+        if bc is None:
+            return jnp.zeros((), g.dtype)
+        val = jnp.asarray(_bvalue(bc, g, 2, side, W_LOC, t), g.dtype)
+        if val.ndim == 0:
+            return val
+        k = g.Hz if side == 0 else g.Hz + g.Nz
+        full = jnp.broadcast_to(val, g.total_shape)
+        return full[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny, k]
+
     def project_velocities(self, state, dt):
         """Make (u,v,w) divergence-free (reference pressure_correction.jl:10-40,
-        solve_for_pressure.jl:15-71); returns corrected state with pNHS."""
+        solve_for_pressure.jl:15-71); returns corrected state with pNHS.
+
+        Fast path: the divergence and gradient-correction are evaluated on
+        interior views with periodic rolls — no halo fills, no with-halo
+        scratch (the round-1 path spent ~10 GB/step at 256³ re-filling
+        velocity and pNHS halos the projection doesn't actually need).
+        pNHS is stored with zero halos (diagnostic only)."""
+        grid = self.grid
+        if self._fast_projection_ok():
+            from ..grids.topology import BOUNDED
+            sol = dict(state["solution"])
+            t = state["clock"].time
+            ui = grid.interior(sol["u"])
+            vi = grid.interior(sol["v"])
+            wi = grid.interior(sol["w"])
+            ax = grid._axes
+            ddx = float(ax[0].extent) / grid.Nx
+            ddy = float(ax[1].extent) / grid.Ny
+            ddz = float(ax[2].extent) / max(grid.Nz, 1)
+            z_bounded = grid.topology[2] is BOUNDED
+            if z_bounded:
+                # impose wall-normal BC values exactly as fill_halos would
+                # (open/value kinds set the wall faces themselves)
+                bot = self._wall_plane(self.bcs["w"].bottom, 0, t)
+                top = self._wall_plane(self.bcs["w"].top, 1, t)
+                wi = wi.at[:, :, 0].set(bot)
+                top_plane = jnp.zeros_like(wi[:, :, :1]) + (
+                    top[..., None] if top.ndim else top)
+                dwdz = (jnp.concatenate([wi[:, :, 1:], top_plane], 2) - wi) / ddz
+            else:
+                dwdz = (jnp.roll(wi, -1, 2) - wi) / ddz
+            div = ((jnp.roll(ui, -1, 0) - ui) / ddx
+                   + (jnp.roll(vi, -1, 1) - vi) / ddy + dwdz)
+            phi = self.pressure_solver.solve(div / dt)
+            gx = (phi - jnp.roll(phi, 1, 0)) / ddx
+            gy = (phi - jnp.roll(phi, 1, 1)) / ddy
+            if z_bounded:
+                gz = jnp.concatenate(
+                    [jnp.zeros_like(phi[:, :, :1]),
+                     phi[:, :, 1:] - phi[:, :, :-1]], 2) / ddz
+            else:
+                gz = (phi - jnp.roll(phi, 1, 2)) / ddz
+            sl = tuple(slice(h, h + n) for h, n in zip(grid.halo, grid.shape))
+            sol["u"] = sol["u"].at[sl].set(ui - dt * gx)
+            sol["v"] = sol["v"].at[sl].set(vi - dt * gy)
+            sol["w"] = sol["w"].at[sl].set(wi - dt * gz)
+            pNHS = jnp.zeros(grid.total_shape, grid.dtype).at[sl].set(phi)
+            return dict(state, solution=sol, pNHS=pNHS)
+        return self._project_velocities_general(state, dt)
+
+    def _project_velocities_general(self, state, dt):
+        """General path (bounded/stretched x-y, distributed, immersed):
+        fill halos, whole-array stencils."""
         grid = self.grid
         # only the velocities need fresh halos for the divergence/correction
         t = state["clock"].time
