@@ -25,20 +25,27 @@ print("state ready", flush=True)
 dt = jnp.float32(1e-4)
 
 
+def _sync(out):
+    """Force a real device round-trip (block_until_ready does not always
+    block under the axon relay)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def bench_fn(name, fn, *args, reps=10, donate=False):
     f = jax.jit(fn, donate_argnums=(0,) if donate else ())
     comp = f.lower(*args).compile()
     ca = comp.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     ba = ca.get("bytes accessed", 0)
-    out = f(*args); jax.block_until_ready(out)
     if donate:
         print(f"{name}: bytes={ba/1e9:.2f} GB (donated; timing skipped)", flush=True)
         return
+    out = f(*args); _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     ms = (time.perf_counter()-t0)/reps*1e3
     print(f"{name}: {ms:.2f} ms  bytes={ba/1e9:.2f} GB  ({ba/820e9*1e3:.1f} ms @820GB/s)",
           flush=True)

@@ -180,26 +180,54 @@ class ImplicitFreeSurface:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SplitExplicitFreeSurface:
+    """Barotropic substepping with time-filtered averaging.
+
+    ``velocity_weights`` / ``free_surface_weights`` are optional static
+    tuples of per-substep averaging weights (normalized internally) —
+    the analog of the reference's SplitExplicitSettings
+    (split_explicit_free_surface.jl:146-171, whose default is the same
+    uniform 1/substeps filter). ``SplitExplicitFreeSurface.with_hann_filter``
+    builds a raised-cosine (Hann) averaging kernel that damps the
+    poorly-resolved barotropic frequencies more strongly than the
+    uniform box filter."""
+
     gravitational_acceleration: float = 9.80665
     substeps: int = 200
+    velocity_weights: tuple = None
+    free_surface_weights: tuple = None
+
+    @classmethod
+    def with_hann_filter(cls, gravitational_acceleration=9.80665, substeps=200):
+        import math
+        w = tuple(math.sin(math.pi * (k + 1) / (substeps + 1)) ** 2
+                  for k in range(substeps))
+        return cls(gravitational_acceleration, substeps, w, w)
 
     def tree_flatten(self):
-        return (self.gravitational_acceleration,), (self.substeps,)
+        return ((self.gravitational_acceleration,),
+                (self.substeps, self.velocity_weights,
+                 self.free_surface_weights))
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        return cls(leaves[0], static[0])
+        return cls(leaves[0], *static)
+
+    def _weight_vec(self, weights, dtype):
+        if weights is None:
+            return jnp.full((self.substeps,), 1.0 / self.substeps, dtype)
+        w = jnp.asarray(weights, dtype)
+        return w / jnp.sum(w)
 
     def substep_eta(self, grid, eta_bcs, eta0, GU, GV, U0, V0, dt):
         """The barotropic substep loop (one lax.fori_loop over 2Δt).
 
         Returns (η̅-filtered η, U̅, V̅) — reference
-        split_explicit_free_surface_kernels.jl:15-58 + settings weights
-        (uniform 1/substeps averaging)."""
+        split_explicit_free_surface_kernels.jl:15-58 + settings weights."""
         g = self.gravitational_acceleration
         n = self.substeps
         dtau = 2.0 * dt / n
-        w = 1.0 / n
+        wv = self._weight_vec(self.velocity_weights, eta0.dtype)
+        wf = self._weight_vec(self.free_surface_weights, eta0.dtype)
         Hfc, Hcf = column_depths(grid)
 
         def body(i, carry):
@@ -210,7 +238,8 @@ class SplitExplicitFreeSurface:
             U = fill2d(U, grid, U_LOC, None)
             V = fill2d(V, grid, V_LOC, None)
             eta = eta - dtau * div_xy_2d(grid, U, V)
-            return (eta, U, V, eta_av + w * eta, U_av + w * U, V_av + w * V)
+            return (eta, U, V, eta_av + wf[i] * eta,
+                    U_av + wv[i] * U, V_av + wv[i] * V)
 
         z = jnp.zeros_like(eta0)
         eta, U, V, eta_av, U_av, V_av = jax.lax.fori_loop(

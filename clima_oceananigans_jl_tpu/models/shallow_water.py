@@ -64,11 +64,19 @@ def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
            + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER)
 
     Gcs = []
-    for c in tracers:
-        fx = grid.Ax(U_LOC) * transport(tracer_scheme, uh, c, 0, True, grid)
-        fy = grid.Ay(V_LOC) * transport(tracer_scheme, vh, c, 1, True, grid)
-        div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
-        Gcs.append(-div_Uc + c * (-Gh))
+    if tracers:
+        # tracers ride the VELOCITY u = uh/h̄ˣ, not the transport
+        # (reference transport_tracer_flux_x/y + c_div_U,
+        # shallow_water_advection_operators.jl:88-145)
+        u_vel = uh / st.ixf(h)
+        v_vel = vh / st.iyf(h)
+        div_U = (st.dxc(grid.Ax(U_LOC) * u_vel)
+                 + st.dyc(grid.Ay(V_LOC) * v_vel)) / grid.V(CENTER)
+        for c in tracers:
+            fx = grid.Ax(U_LOC) * transport(tracer_scheme, u_vel, c, 0, True, grid)
+            fy = grid.Ay(V_LOC) * transport(tracer_scheme, v_vel, c, 1, True, grid)
+            div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
+            Gcs.append(-div_Uc + c * div_U)
     return (Guh, Gvh, Gh, *Gcs)
 
 
@@ -80,19 +88,37 @@ class ShallowWaterModel:
                  advection: Optional[AdvectionScheme] = None,
                  tracer_advection: Optional[AdvectionScheme] = None,
                  coriolis=None, closure=None, bathymetry=None,
-                 tracers=(), forcing=None, boundary_conditions=None):
+                 tracers=(), forcing=None, boundary_conditions=None,
+                 formulation="conservative"):
+        """``formulation``: "conservative" (prognostic uh, vh, h — the
+        default) or "vector_invariant" (prognostic u, v, h; rotational
+        momentum form, reference shallow_water_model.jl:37-57). In the
+        vector-invariant form `advection` is a VectorInvariant config
+        (vorticity scheme) and h is advected with `tracer_advection`."""
         if grid.topology[2] is not FLAT or grid.Nz != 1:
             raise ValueError("ShallowWaterModel requires a flat z-axis (size[2]=1)")
-        self.advection = advection if advection is not None else WENO5()
-        self.tracer_advection = (tracer_advection if tracer_advection is not None
-                                 else self.advection)
-        h_req = max(self.advection.required_halo, self.tracer_advection.required_halo)
+        if formulation not in ("conservative", "vector_invariant"):
+            raise ValueError(f"unknown formulation {formulation!r}")
+        self.formulation = formulation
+        if formulation == "vector_invariant":
+            from ..advection.vector_invariant import VectorInvariant
+            self.advection = (advection if advection is not None
+                              else VectorInvariant())
+            self.tracer_advection = (tracer_advection
+                                     if tracer_advection is not None else WENO5())
+        else:
+            self.advection = advection if advection is not None else WENO5()
+            self.tracer_advection = (tracer_advection if tracer_advection is not None
+                                     else self.advection)
+        h_req = max(getattr(self.advection, "required_halo", 1),
+                    self.tracer_advection.required_halo)
         import jax as _jax
         from ..grids.topology import BOUNDED
         # bounded x is incompatible with the tiled fused kernel (absolute
         # near-boundary order-reduction masks); bounded y is fine (full rows)
         want_fused = (_jax.default_backend() == "tpu" and not grid.curvilinear
-                      and grid.topology[0] is not BOUNDED)
+                      and grid.topology[0] is not BOUNDED
+                      and formulation == "conservative")
         # fused 2D Pallas tiles need the x-window (sublane dim) to be a
         # multiple of 8, so pad the x-halo to a multiple of 4
         hx = -(-h_req // 4) * 4 if want_fused else h_req
@@ -106,13 +132,18 @@ class ShallowWaterModel:
         self.tracer_names = tuple(tracers)
         self.forcing = forcing or {}
         user_bcs = boundary_conditions or {}
+        un, vn = self._momentum_names()
         self.bcs = {
-            "uh": regularize_bcs(self.grid, U_LOC, user_bcs.get("uh")),
-            "vh": regularize_bcs(self.grid, V_LOC, user_bcs.get("vh")),
+            un: regularize_bcs(self.grid, U_LOC, user_bcs.get(un)),
+            vn: regularize_bcs(self.grid, V_LOC, user_bcs.get(vn)),
             "h": regularize_bcs(self.grid, CENTER, user_bcs.get("h")),
         }
         for name in self.tracer_names:
             self.bcs[name] = regularize_bcs(self.grid, CENTER, user_bcs.get(name))
+
+    def _momentum_names(self):
+        return (("u", "v") if self.formulation == "vector_invariant"
+                else ("uh", "vh"))
 
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
@@ -121,7 +152,7 @@ class ShallowWaterModel:
         static = (self.advection, self.tracer_advection, self.tracer_names,
                   tuple(sorted(self.forcing)),
                   tuple(self.forcing[k] for k in sorted(self.forcing)),
-                  self.fused_advection, self.g_const)
+                  self.fused_advection, self.g_const, self.formulation)
         return leaves, static
 
     @classmethod
@@ -133,27 +164,32 @@ class ShallowWaterModel:
         obj.forcing = dict(zip(static[3], static[4]))
         obj.fused_advection = static[5]
         obj.g_const = static[6]
+        obj.formulation = static[7]
         return obj
 
     # -- state --------------------------------------------------------------
     def prognostic_names(self):
-        return ("uh", "vh", "h") + self.tracer_names
+        return self._momentum_names() + ("h",) + self.tracer_names
 
-    def initial_state(self, uh=0.0, vh=0.0, h=1.0, clock=None, **tracers):
+    def initial_state(self, clock=None, h=1.0, **values):
         from ..fields.field import new_field, set_field
         g = self.grid
         sol = {}
-        values = dict(uh=uh, vh=vh, h=h, **{n: tracers.get(n, 0.0) for n in self.tracer_names})
+        vals = dict(h=h)
+        for n in self.prognostic_names():
+            if n != "h":
+                vals[n] = values.get(n, 0.0)
         locs = self._locs()
         for name in self.prognostic_names():
             f = new_field(g, locs[name], self.bcs[name])
-            sol[name] = set_field(f, g, values[name]).data
+            sol[name] = set_field(f, g, vals[name]).data
         clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
         zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
         return dict(solution=sol, clock=clock, G_prev=zeros)
 
     def _locs(self):
-        locs = dict(uh=U_LOC, vh=V_LOC, h=CENTER)
+        un, vn = self._momentum_names()
+        locs = {un: U_LOC, vn: V_LOC, "h": CENTER}
         for n in self.tracer_names:
             locs[n] = CENTER
         return locs
@@ -164,9 +200,63 @@ class ShallowWaterModel:
                 for name, arr in sol.items()}
 
     # -- physics ------------------------------------------------------------
+    def _vi_tendencies(self, state):
+        """Vector-invariant tendencies (prognostic u, v, h): rotational
+        momentum form with Bernoulli head; h and tracers advected by
+        (u, v) with `tracer_advection` (reference
+        shallow_water_advection_operators.jl:45-57,79,110-121,141-145)."""
+        grid, g = self.grid, self.g
+        sol = state["solution"]
+        u, v, h = sol["u"], sol["v"], sol["h"]
+        clock = state["clock"]
+        zero_w = jnp.zeros_like(h)
+        ts = self.tracer_advection
+
+        Gu = -self.advection.U_dot_grad_u(grid, u, v, zero_w) \
+            - g * st.dxf(h) / grid.dx(U_LOC)
+        Gv = -self.advection.U_dot_grad_v(grid, u, v, zero_w) \
+            - g * st.dyf(h) / grid.dy(V_LOC)
+        if self.bathymetry is not None:
+            Gu = Gu + g * st.dxf(self.bathymetry) / grid.dx(U_LOC)
+            Gv = Gv + g * st.dyf(self.bathymetry) / grid.dy(V_LOC)
+        if self.coriolis is not None:
+            Gu = Gu - self.coriolis.x_f_cross_U(grid, u, v, zero_w)
+            Gv = Gv - self.coriolis.y_f_cross_U(grid, u, v, zero_w)
+        if self.closure is not None:
+            Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure)
+            Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure)
+
+        def div_Uc_2d(c):
+            fx = grid.Ax(U_LOC) * transport(ts, u, c, 0, True, grid)
+            fy = grid.Ay(V_LOC) * transport(ts, v, c, 1, True, grid)
+            return (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
+
+        G = {"u": Gu, "v": Gv, "h": -div_Uc_2d(h)}
+        if self.tracer_names:
+            # c ∇·U compressibility correction (c_div_U, ref :141-145)
+            div_U = (st.dxc(grid.Ax(U_LOC) * u)
+                     + st.dyc(grid.Ay(V_LOC) * v)) / grid.V(CENTER)
+            for name in self.tracer_names:
+                c = sol[name]
+                Gc = -div_Uc_2d(c) + c * div_U
+                if self.closure is not None:
+                    Gc = Gc + tracer_diffusion(c, grid, name, self.closure)
+                G[name] = Gc
+
+        fields = dict(sol)
+        locs = self._locs()
+        for name in self.prognostic_names():
+            if name in self.forcing:
+                G[name] = G[name] + self.forcing[name](grid, clock, fields)
+            G[name] = apply_flux_bcs(G[name], grid, locs[name],
+                                     self.bcs[name], clock.time)
+        return G
+
     def tendencies(self, state):
         """G for every prognostic variable (reference
         solution_and_tracer_tendencies.jl)."""
+        if self.formulation == "vector_invariant":
+            return self._vi_tendencies(state)
         grid, g = self.grid, self.g
         sol = state["solution"]
         uh, vh, h = sol["uh"], sol["vh"], sol["h"]
@@ -261,15 +351,19 @@ class ShallowWaterModel:
         grid = self.grid
         h = sol["h"]
         cg = jnp.sqrt(self.g * jnp.abs(h))
-        u = jnp.abs(sol["uh"] / st.ixf(h)) + cg
-        v = jnp.abs(sol["vh"] / st.iyf(h)) + cg
+        vels = self.velocities(state)
+        u = jnp.abs(vels["u"]) + cg
+        v = jnp.abs(vels["v"]) + cg
         tx = grid.interior(grid.dx(U_LOC) / jnp.maximum(u, 1e-30))
         ty = grid.interior(grid.dy(V_LOC) / jnp.maximum(v, 1e-30))
         return jnp.minimum(jnp.min(tx), jnp.min(ty))
 
     def velocities(self, state):
-        """Diagnostic u = uh/h̄ˣ, v = vh/h̄ʸ."""
+        """Diagnostic velocities (u = uh/h̄ˣ in the conservative form;
+        prognostic in the vector-invariant form)."""
         sol = state["solution"]
+        if self.formulation == "vector_invariant":
+            return dict(u=sol["u"], v=sol["v"])
         return dict(u=sol["uh"] / st.ixf(sol["h"]),
                     v=sol["vh"] / st.iyf(sol["h"]))
 

@@ -184,3 +184,27 @@ def test_weno_vector_invariant_runs_and_tracks_enstrophy_scheme():
     diff = np.abs(results["weno"] - results["enstrophy"]).max()
     scale = np.abs(results["enstrophy"]).max()
     assert diff < 0.05 * scale  # smooth flow: schemes agree closely
+
+
+def test_split_explicit_weighted_filter():
+    """Custom averaging weights (Hann filter) run and conserve volume;
+    uniform default matches the reference's SplitExplicitSettings
+    (split_explicit_free_surface.jl:156-158)."""
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        SplitExplicitFreeSurface)
+    fs = SplitExplicitFreeSurface.with_hann_filter(substeps=20)
+    assert abs(sum(fs.velocity_weights) / sum(fs.free_surface_weights) - 1.0) < 1e-12
+    g = RectilinearGrid(size=(16, 16, 4), extent=(1e5, 1e5, 100.0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED))
+    model = HydrostaticFreeSurfaceModel(g, free_surface=fs)
+    eta0 = lambda x, y: 0.1 * jnp.exp(-((x - 5e4)**2 + (y - 5e4)**2) / 1e8)
+    state = model.initial_state(eta=eta0)
+    gg = model.grid
+    core = lambda e: e[gg.Hx:gg.Hx + gg.Nx, gg.Hy:gg.Hy + gg.Ny]
+    vol0 = float(jnp.sum(core(state["eta"])))
+    for _ in range(3):
+        state = jax.jit(model.step)(state, 10.0)
+    eta = core(state["eta"])
+    assert np.isfinite(np.asarray(eta)).all()
+    vol1 = float(jnp.sum(eta))
+    assert abs(vol1 - vol0) < 1e-8 * max(1.0, abs(vol0)) + 1e-6
