@@ -46,7 +46,8 @@ class HydrostaticFreeSurfaceModel:
     def __init__(self, grid, momentum_advection="default",
                  tracer_advection="default",
                  free_surface=None, buoyancy=None, coriolis=None, closure=None,
-                 tracers=None, forcing=None, boundary_conditions=None):
+                 tracers=None, forcing=None, boundary_conditions=None,
+                 particles=None):
         if grid.topology[2] is FLAT:
             raise ValueError("HydrostaticFreeSurfaceModel needs a z direction")
         # None explicitly disables a term (reference `advection = nothing`)
@@ -74,6 +75,7 @@ class HydrostaticFreeSurfaceModel:
         self.buoyancy = buoyancy
         self.coriolis = coriolis
         self.closure = closure
+        self.particles = particles  # LagrangianParticles or None
         self.forcing = forcing or {}
         self.ab2_chi = 0.1
         user_bcs = boundary_conditions or {}
@@ -96,7 +98,7 @@ class HydrostaticFreeSurfaceModel:
     def tree_flatten(self):
         leaves = (self.grid, self.free_surface, self.buoyancy, self.coriolis,
                   self.closure, self.bcs, self.eta_bcs, self.w_bcs,
-                  self.pressure_bcs)
+                  self.pressure_bcs, self.particles)
         fk = tuple(sorted(self.forcing))
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
@@ -107,7 +109,8 @@ class HydrostaticFreeSurfaceModel:
     def tree_unflatten(cls, static, leaves):
         obj = object.__new__(cls)
         (obj.grid, obj.free_surface, obj.buoyancy, obj.coriolis, obj.closure,
-         obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs) = leaves
+         obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs,
+         obj.particles) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
          obj.ab2_chi, fk, fv) = static
         obj.forcing = dict(zip(fk, fv))
@@ -149,6 +152,8 @@ class HydrostaticFreeSurfaceModel:
             zeros["eta"] = jnp.zeros_like(eta_arr)
         state = dict(solution=sol, eta=eta_arr, clock=clock, G_prev=zeros,
                      previous_dt=jnp.full((), -1.0, g.dtype))
+        if self.particles is not None:
+            state["particles"] = self.particles
         return self.update_state(state)
 
     def fill_all_halos(self, sol, t=0.0):
@@ -311,7 +316,17 @@ class HydrostaticFreeSurfaceModel:
         clock = clock0.tick(dt)
         new_state = dict(new_state, clock=clock,
                          previous_dt=jnp.full((), 1.0, grid.dtype) * dt)
-        return self.update_state(new_state)
+        new_state = self.update_state(new_state)
+        p = new_state.get("particles")
+        if p is not None:
+            # advect particles in the updated (u, v, diagnosed-w) field
+            # (reference update_particle_properties! inside time_step!)
+            sol = new_state["solution"]
+            vels = dict(u=sol["u"], v=sol["v"], w=new_state["w"])
+            fields = {nm: sol[nm] for nm in self.tracer_names}
+            new_state = dict(new_state,
+                             particles=p.step(grid, vels, dt, fields))
+        return new_state
 
     # -- diagnostics ---------------------------------------------------------------
     def cell_advection_timescale(self, state):

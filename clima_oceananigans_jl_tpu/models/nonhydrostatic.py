@@ -56,7 +56,7 @@ class NonhydrostaticModel:
                  closure=None, tracers=None, forcing=None,
                  background_fields=None, boundary_conditions=None,
                  timestepper="QuasiAdamsBashforth2", immersed_boundary=None,
-                 fused_advection="auto"):
+                 particles=None, fused_advection="auto"):
         self.advection = advection if advection is not None else CenteredSecondOrder()
         self.tracer_advection = (tracer_advection if tracer_advection is not None
                                  else self.advection)
@@ -95,6 +95,7 @@ class NonhydrostaticModel:
         if immersed_boundary is not None and hasattr(immersed_boundary, "build"):
             immersed_boundary = immersed_boundary.build(self.grid)
         self.immersed_boundary = immersed_boundary
+        self.particles = particles  # LagrangianParticles or None
         self.pressure_solver = select_pressure_solver(self.grid)
         user_bcs = boundary_conditions or {}
         self.bcs = {
@@ -111,7 +112,7 @@ class NonhydrostaticModel:
         leaves = (self.grid, self.buoyancy, self.coriolis, self.stokes_drift,
                   self.closure, self.bcs, self.pressure_bcs,
                   self.pressure_solver, self.background_fields,
-                  self.immersed_boundary)
+                  self.immersed_boundary, self.particles)
         fk = tuple(sorted(self.forcing))
         static = (self.advection, self.tracer_advection, self.tracer_names,
                   self.timestepper, self.ab2_chi,
@@ -123,7 +124,8 @@ class NonhydrostaticModel:
         obj = object.__new__(cls)
         (obj.grid, obj.buoyancy, obj.coriolis, obj.stokes_drift, obj.closure,
          obj.bcs, obj.pressure_bcs, obj.pressure_solver,
-         obj.background_fields, obj.immersed_boundary) = leaves
+         obj.background_fields, obj.immersed_boundary,
+         obj.particles) = leaves
         (obj.advection, obj.tracer_advection, obj.tracer_names,
          obj.timestepper, obj.ab2_chi, fk, fv, obj.fused_advection) = static
         obj.forcing = dict(zip(fk, fv))
@@ -152,6 +154,8 @@ class NonhydrostaticModel:
         state = dict(solution=sol, clock=clock, G_prev=zeros,
                      pNHS=jnp.zeros(g.total_shape, g.dtype),
                      previous_dt=jnp.full((), -1.0, g.dtype))
+        if self.particles is not None:
+            state["particles"] = self.particles
         return self.update_state(state)
 
     def fill_all_halos(self, sol, t=0.0):
@@ -436,7 +440,7 @@ class NonhydrostaticModel:
         clock = clock0.tick(dt)
         state = dict(state, clock=clock, G_prev=G,
                      previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)
-        return self.update_state(state)
+        return self._step_particles(self.update_state(state), dt)
 
     def _rk3_step(self, state, dt):
         clock0 = state["clock"]
@@ -455,8 +459,21 @@ class NonhydrostaticModel:
             state = self.update_state(state)
             G_prev = G
         clock = Clock(clock0.time + dt, clock0.iteration + 1, 0)
-        return dict(state, clock=clock, G_prev=G_prev,
-                    previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)
+        state = dict(state, clock=clock, G_prev=G_prev,
+                     previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)
+        return self._step_particles(state, dt)
+
+    def _step_particles(self, state, dt):
+        """Advect Lagrangian particles with the updated velocity field and
+        sample tracked fields (reference: update_particle_properties!
+        called inside time_step!, LagrangianParticleTracking.jl)."""
+        p = state.get("particles")
+        if p is None:
+            return state
+        sol = state["solution"]
+        vels = {k: sol[k] for k in ("u", "v", "w")}
+        fields = {n: sol[n] for n in self.tracer_names}
+        return dict(state, particles=p.step(self.grid, vels, dt, fields))
 
     # -- diagnostics ---------------------------------------------------------------
     def cell_advection_timescale(self, state):

@@ -89,7 +89,7 @@ class ShallowWaterModel:
                  tracer_advection: Optional[AdvectionScheme] = None,
                  coriolis=None, closure=None, bathymetry=None,
                  tracers=(), forcing=None, boundary_conditions=None,
-                 formulation="conservative"):
+                 formulation="conservative", particles=None):
         """``formulation``: "conservative" (prognostic uh, vh, h — the
         default) or "vector_invariant" (prognostic u, v, h; rotational
         momentum form, reference shallow_water_model.jl:37-57). In the
@@ -128,6 +128,7 @@ class ShallowWaterModel:
         self.fused_advection = bool(want_fused and self.grid.all_regular)
         self.coriolis = coriolis
         self.closure = closure
+        self.particles = particles  # LagrangianParticles or None
         self.bathymetry = bathymetry  # hB array at centers or None
         self.tracer_names = tuple(tracers)
         self.forcing = forcing or {}
@@ -148,7 +149,7 @@ class ShallowWaterModel:
     # -- pytree -------------------------------------------------------------
     def tree_flatten(self):
         leaves = (self.grid, self.g, self.coriolis, self.closure,
-                  self.bathymetry, self.bcs)
+                  self.bathymetry, self.bcs, self.particles)
         static = (self.advection, self.tracer_advection, self.tracer_names,
                   tuple(sorted(self.forcing)),
                   tuple(self.forcing[k] for k in sorted(self.forcing)),
@@ -159,7 +160,7 @@ class ShallowWaterModel:
     def tree_unflatten(cls, static, leaves):
         obj = object.__new__(cls)
         (obj.grid, obj.g, obj.coriolis, obj.closure,
-         obj.bathymetry, obj.bcs) = leaves
+         obj.bathymetry, obj.bcs, obj.particles) = leaves
         obj.advection, obj.tracer_advection, obj.tracer_names = static[:3]
         obj.forcing = dict(zip(static[3], static[4]))
         obj.fused_advection = static[5]
@@ -185,7 +186,10 @@ class ShallowWaterModel:
             sol[name] = set_field(f, g, vals[name]).data
         clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
         zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
-        return dict(solution=sol, clock=clock, G_prev=zeros)
+        state = dict(solution=sol, clock=clock, G_prev=zeros)
+        if self.particles is not None:
+            state["particles"] = self.particles
+        return state
 
     def _locs(self):
         un, vn = self._momentum_names()
@@ -343,7 +347,13 @@ class ShallowWaterModel:
             state = dict(state, solution=sol, clock=clock)
             G_prev = G
         clock = Clock(clock0.time + dt, clock0.iteration + 1, 0)
-        return dict(state, clock=clock, G_prev=G_prev)
+        state = dict(state, clock=clock, G_prev=G_prev)
+        p = state.get("particles")
+        if p is not None:
+            vels = self.velocities(state)
+            fields = {nm: state["solution"][nm] for nm in self.tracer_names}
+            state = dict(state, particles=p.step(self.grid, vels, dt, fields))
+        return state
 
     def cell_advection_timescale(self, state):
         """min(Δ / (|u| + √(gh))) — gravity-wave-aware CFL timescale."""

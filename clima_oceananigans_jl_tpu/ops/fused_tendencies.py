@@ -70,6 +70,21 @@ class ConstMetricGrid:
         return self.ddx * self.ddy * self.ddz
 
 
+class _fast_div:
+    """Trace-time context: enables WENO5's approx-reciprocal division
+    while a Pallas kernel body is being traced."""
+
+    def __enter__(self):
+        from ..advection import schemes as S
+        self._old = S.PALLAS_FAST_DIV
+        S.PALLAS_FAST_DIV = True
+
+    def __exit__(self, *exc):
+        from ..advection import schemes as S
+        S.PALLAS_FAST_DIV = self._old
+        return False
+
+
 def supports_fused_advection(grid):
     # x/y must not be BOUNDED: near-boundary order-reduction masks are
     # absolute positions, which the tiled x/y windows cannot express
@@ -80,10 +95,12 @@ def supports_fused_advection(grid):
             and grid.Hy >= 1 and grid.Nz >= 1)
 
 
-def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=500_000):
+def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=520_000):
     """Pick (TX, TY) dividing (nx, ny) with (TY+2hy) % 8 == 0 (or full),
     keeping the padded VMEM window under `budget_bytes` (the kernel's
-    scratch stack is ~25-30 windows; VMEM is 16 MB)."""
+    scratch stack is ~25-30 windows; VMEM is 16 MB). ty is capped at 16 —
+    wider windows crash the Mosaic compiler at 256³ (remote_compile HTTP
+    500) and (8,16) measured fastest of the configs that compile."""
     def divisors(n):
         return [d for d in range(1, n + 1) if n % d == 0]
 
@@ -94,7 +111,7 @@ def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=500_000):
     best = None
     for ty in divisors(ny):
         ty_w = ty + 2 * hy
-        if ty_w % 8 != 0 and ty != ny:
+        if (ty_w % 8 != 0 and ty != ny) or ty > 16:
             continue
         for tx in divisors(nx):
             tx_w = tx + 2 * hx
@@ -102,7 +119,8 @@ def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=500_000):
             if win > budget_bytes:
                 continue
             score = tx * ty  # larger tiles → less halo re-read
-            if best is None or score > best[0]:
+            if best is None or score > best[0] or (score == best[0]
+                                                   and ty > best[2]):
                 best = (score, tx, ty)
     if best is None:
         return 1, ny  # last resort (tiny grids)
@@ -158,7 +176,8 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 in_refs = refs[:len(inputs)]
                 out_refs = refs[len(inputs):]
                 blocks = [r[:][:, :, None] for r in in_refs]
-                outs = fn(*blocks)
+                with _fast_div():
+                    outs = fn(*blocks)
                 for o_ref, o in zip(out_refs, outs):
                     o_ref[:] = o[hx:hx + tx, :, 0]
 
@@ -190,7 +209,8 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
             sl = (slice(hx, hx + tx) if blocks[0].shape[0] > tx else slice(None),
                   slice(hy, hy + ty) if blocks[0].shape[1] > ty else slice(None),
                   slice(None))
-            outs = fn(*blocks)
+            with _fast_div():
+                outs = fn(*blocks)
             for o_ref, o in zip(out_refs, outs):
                 o_ref[:] = o[sl]
 
@@ -250,12 +270,13 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
         sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
               slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
               slice(None))
-        out_refs[0][:] = -div_vu(cg, scheme, ub, vb, wb)[sl]
-        out_refs[1][:] = -div_vv(cg, scheme, ub, vb, wb)[sl]
-        out_refs[2][:] = -div_vw(cg, scheme, ub, vb, wb)[sl]
-        for k, cref in enumerate(c_refs):
-            out_refs[3 + k][:] = -div_Uc(cg, tracer_scheme, ub, vb, wb,
-                                         cref[:])[sl]
+        with _fast_div():
+            out_refs[0][:] = -div_vu(cg, scheme, ub, vb, wb)[sl]
+            out_refs[1][:] = -div_vv(cg, scheme, ub, vb, wb)[sl]
+            out_refs[2][:] = -div_vw(cg, scheme, ub, vb, wb)[sl]
+            for k, cref in enumerate(c_refs):
+                out_refs[3 + k][:] = -div_Uc(cg, tracer_scheme, ub, vb, wb,
+                                             cref[:])[sl]
 
     win = pl.BlockSpec(
         (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),

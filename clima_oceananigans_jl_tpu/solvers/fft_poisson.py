@@ -39,6 +39,29 @@ def _reshape_axis(arr, axis):
     return arr.reshape(shape)
 
 
+def _dct2_matrix(N, dtype):
+    """Orthonormal DCT-II matrix C[k,n] = s_k cos(π(2n+1)k/2N)."""
+    k = jnp.arange(N, dtype=dtype)[:, None]
+    n = jnp.arange(N, dtype=dtype)[None, :]
+    C = jnp.cos(jnp.pi * (2.0 * n + 1.0) * k / (2.0 * N))
+    s = jnp.where(k == 0, jnp.sqrt(1.0 / N), jnp.sqrt(2.0 / N))
+    return (s * C).astype(dtype)
+
+
+def _matmul_along(b, M, axis):
+    """Apply M (K×N) along `axis` of b: out[...,k,...] = Σ_n M[k,n] b[n].
+    One MXU contraction — on TPU this beats the FFT-lowered DCT by ~an
+    order of magnitude in both traffic and time for N ≤ ~1024."""
+    out = jnp.tensordot(b, M, axes=[[axis], [1]],
+                        preferred_element_type=b.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _use_mxu_dct(b, axis):
+    return (jax.default_backend() == "tpu" and not jnp.iscomplexobj(b)
+            and b.shape[axis] <= 1024)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class FFTPoissonSolver:
@@ -84,7 +107,10 @@ class FFTPoissonSolver:
 
         b = rhs
         for a in dct_axes:
-            b = jfft.dct(b, type=2, axis=a, norm="ortho")
+            if _use_mxu_dct(b, a):
+                b = _matmul_along(b, _dct2_matrix(b.shape[a], b.dtype), a)
+            else:
+                b = jfft.dct(b, type=2, axis=a, norm="ortho")
         if use_rfft:
             n_r = b.shape[r_axis]
             b = jnp.fft.rfft(b, axis=r_axis)
@@ -109,5 +135,10 @@ class FFTPoissonSolver:
             phi = jnp.fft.irfft(phi, n=n_r, axis=r_axis)
         phi = jnp.real(phi) if jnp.iscomplexobj(phi) else phi
         for a in reversed(dct_axes):
-            phi = jfft.idct(phi, type=2, axis=a, norm="ortho")
+            if _use_mxu_dct(phi, a):
+                # orthonormal inverse = Cᵀ: out[n] = Σ_k C[k,n] φ[k]
+                phi = _matmul_along(phi, _dct2_matrix(phi.shape[a],
+                                                      phi.dtype).T, a)
+            else:
+                phi = jfft.idct(phi, type=2, axis=a, norm="ortho")
         return phi.astype(self.dtype)

@@ -201,3 +201,46 @@ def test_cfl_diagnostics_and_state_checker(caplog):
     with caplog.at_level(logging.INFO, logger="clima_oceananigans_jl_tpu"):
         StateChecker()(sim)
     assert any("state" in r.message for r in caplog.records)
+
+
+def test_particles_advect_inside_model_step():
+    """Particles ride the jitted model step (reference calls
+    update_particle_properties! inside time_step!)."""
+    from clima_oceananigans_jl_tpu.particles.lagrangian import LagrangianParticles
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+    g = RectilinearGrid(size=(16, 16, 8), extent=(1., 1., 1.),
+                        topology=(PERIODIC, PERIODIC, BOUNDED))
+    p0 = LagrangianParticles(x=jnp.asarray([0.3, 0.5]),
+                             y=jnp.asarray([0.4, 0.6]),
+                             z=jnp.asarray([-0.5, -0.25]) + 0.5,
+                             tracked_fields=("b",))
+    model = NonhydrostaticModel(
+        g, tracers=("b",), particles=p0)
+    state = model.initial_state(u=0.1, b=lambda x, y, z: x)
+    x_before = np.asarray(state["particles"].x)
+    dt = 0.01
+    step = jax.jit(model.step)
+    for _ in range(5):
+        state = step(state, dt)
+    p = state["particles"]
+    # advected ~ 5*dt*u in x (uniform u=0.1 is divergence-free: projection
+    # preserves it)
+    np.testing.assert_allclose(np.asarray(p.x), x_before + 0.005, atol=1e-3)
+    assert "b" in p.properties and np.isfinite(np.asarray(p.properties["b"])).all()
+    # tracked field b = x sampled at the particle
+    np.testing.assert_allclose(np.asarray(p.properties["b"]),
+                               np.asarray(p.x), atol=0.05)
+
+
+def test_particles_in_shallow_water_step():
+    from clima_oceananigans_jl_tpu.particles.lagrangian import LagrangianParticles
+    from clima_oceananigans_jl_tpu.models.shallow_water import ShallowWaterModel
+    from clima_oceananigans_jl_tpu import FLAT
+    g = RectilinearGrid(size=(16, 16, 1), extent=(1., 1., 1.),
+                        topology=(PERIODIC, PERIODIC, FLAT))
+    p0 = LagrangianParticles(x=jnp.asarray([0.5]), y=jnp.asarray([0.5]),
+                             z=jnp.asarray([0.0]))
+    model = ShallowWaterModel(g, particles=p0)
+    state = model.initial_state(uh=0.2, h=1.0)
+    state = jax.jit(model.step)(state, 0.01)
+    assert float(state["particles"].x[0]) > 0.5

@@ -127,3 +127,17 @@ def test_batched_tridiagonal_vs_dense():
         for j in range(3):
             expected = np.linalg.solve(M, d[i, j])
             assert np.allclose(phi[i, j], expected, atol=1e-12)
+
+
+def test_mxu_dct_matrix_matches_fft_dct():
+    """The MXU-matmul DCT used on TPU equals jax.scipy.fft.dct."""
+    import jax.scipy.fft as jfft
+    from clima_oceananigans_jl_tpu.solvers.fft_poisson import (
+        _dct2_matrix, _matmul_along)
+    b = jax.random.normal(jax.random.PRNGKey(3), (6, 5, 16), jnp.float64)
+    for ax in (0, 1, 2):
+        ref = jfft.dct(b, type=2, axis=ax, norm="ortho")
+        got = _matmul_along(b, _dct2_matrix(b.shape[ax], b.dtype), ax)
+        assert np.abs(np.asarray(ref - got)).max() < 1e-12
+        inv = _matmul_along(got, _dct2_matrix(b.shape[ax], b.dtype).T, ax)
+        assert np.abs(np.asarray(inv - b)).max() < 1e-12
