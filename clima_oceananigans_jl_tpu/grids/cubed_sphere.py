@@ -1,4 +1,5 @@
-"""Cubed-sphere grids: 6 gnomonic faces batched on a leading axis.
+"""Cubed-sphere grids: 6 conformal (or gnomonic) faces batched on a
+leading axis.
 
 TPU re-design of /root/reference/src/CubedSpheres/ +
 Grids/conformal_cubed_sphere_face_grid.jl: instead of 6 separate face
@@ -8,15 +9,20 @@ structs with per-face kernel launches and hand-coded rotated halo copies
 face-grid metrics, and inter-face halo filling is a single gather through
 precomputed index maps.
 
-Geometry: equiangular gnomonic projection (the reference uses the Rančić
-conformal map; equiangular shares the cube topology and the property that
-grid lines continue smoothly across edges, which makes the halo maps
-exact node matches — they are built here by nearest-node matching of 3D
-positions, with the velocity-component rotation coefficients computed
-from the numerically-projected tangent bases, so no hand-maintained
-orientation tables exist to get wrong). Metrics (edge lengths, spherical
-cell areas via the triangle-excess formula) are computed from the exact
-node positions.
+Geometry: the default is the exact **conformal** (Rančić et al. 1996) map
+(grids/conformal_map.py — derived from first principles, unique ⇒ equal
+to the reference's CubedSphere.jl map); ``map_kind="gnomonic"`` selects
+the equiangular gnomonic projection. Both share the cube topology and the
+property that edge nodes of adjacent faces coincide exactly, so the halo
+exchange is EXACT where nodes match: per-location (centers / x-faces /
+y-faces) index maps are built by nearest-node matching with snapping —
+matched halo nodes copy the neighbour's value directly (with the ±u↔v
+component swap at rotated junctions, the analog of the reference's
+rotated halo copies), and only the corner wedges (whose halo nodes fall
+between neighbour lattices — the reference leaves these to corner-pass
+heuristics) use rotated bilinear interpolation. Metrics (edge lengths,
+spherical cell areas via the triangle-excess formula) are computed from
+the exact node positions.
 """
 from __future__ import annotations
 
@@ -27,26 +33,144 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.location import C, F
+from .conformal_map import conformal_coefficients, _basis_integrals
 from .rectilinear import RectilinearGrid, _Axis, _build_axis, _bx
 from .topology import BOUNDED, FLAT, FULLY_CONNECTED, PERIODIC
 
-# face frames: (center, e1 (ξ/x direction), e2 (η/y direction))
+# face frames: (center, e1 (ξ/x direction), e2 (η/y direction)).
+# Chosen (by search over chart rotations) so that every cube edge is the
+# NEGATIVE (x=-1 or y=-1) side of exactly one face: each physical edge
+# column of the staggered mesh is then computed by exactly one face and
+# every halo gather has a computed source. All frames are right-handed
+# (e1 × e2 = outward normal), so chart transitions are holomorphic.
 _FACES = [
     ((+1, 0, 0), (0, +1, 0), (0, 0, +1)),
     ((0, +1, 0), (-1, 0, 0), (0, 0, +1)),
-    ((-1, 0, 0), (0, -1, 0), (0, 0, +1)),
-    ((0, -1, 0), (+1, 0, 0), (0, 0, +1)),
-    ((0, 0, +1), (0, +1, 0), (-1, 0, 0)),   # north cap
+    ((-1, 0, 0), (0, 0, -1), (0, -1, 0)),
+    ((0, -1, 0), (0, 0, -1), (+1, 0, 0)),
+    ((0, 0, +1), (-1, 0, 0), (0, -1, 0)),   # north cap
     ((0, 0, -1), (0, +1, 0), (+1, 0, 0)),   # south cap
 ]
 
+# square corners / side endpoints in chart coordinates (complex x+iy);
+# sides: 0: x=+1, 1: x=-1, 2: y=+1, 3: y=-1
+_SIDE_ENDS = {0: (1 - 1j, 1 + 1j), 1: (-1 + 1j, -1 - 1j),
+              2: (1 + 1j, -1 + 1j), 3: (-1 - 1j, 1 - 1j)}
 
-def _points(face, xi, eta):
-    """3D unit vectors for angle coords (xi, eta) on a face (broadcast)."""
-    c, e1, e2 = (np.asarray(v, np.float64) for v in _FACES[face])
-    p = (c[None, None, :] + np.tan(xi)[:, :, None] * e1[None, None, :]
-         + np.tan(eta)[:, :, None] * e2[None, None, :])
-    return p / np.linalg.norm(p, axis=-1, keepdims=True)
+
+def _corner_dir(face, zc):
+    """Exact 3D direction of a chart corner (map-independent)."""
+    c, e1, e2 = _frame(face)
+    p = c + zc.real * e1 + zc.imag * e2
+    return p / np.linalg.norm(p)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Motion:
+    """Holomorphic rigid chart transition z' = a z + b onto face g."""
+    g: int
+    a: complex
+    b: complex
+
+    def __call__(self, z):
+        return self.a * z + self.b
+
+
+def _side_motions():
+    """motions[f][s]: the transition from face f's chart across side s
+    into the neighbouring face's chart — derived from exact corner
+    correspondences (no hand-maintained orientation tables). Conformal
+    charts of the cubed sphere are related by exactly these Euclidean
+    motions (Schwarz reflection ⇒ the transition preserves the square
+    lattice), which is what makes the halo exchange exact."""
+    corners = {(f, zc): _corner_dir(f, zc) for f in range(6)
+               for zc in (1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j)}
+    motions = [[None] * 4 for _ in range(6)]
+    for f in range(6):
+        for s, (zA, zB) in _SIDE_ENDS.items():
+            A3, B3 = corners[(f, zA)], corners[(f, zB)]
+            for g in range(6):
+                if g == f:
+                    continue
+                zmatch = {}
+                for zc in (1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j):
+                    if np.allclose(corners[(g, zc)], A3, atol=1e-12):
+                        zmatch["A"] = zc
+                    if np.allclose(corners[(g, zc)], B3, atol=1e-12):
+                        zmatch["B"] = zc
+                if len(zmatch) == 2:
+                    a = (zmatch["B"] - zmatch["A"]) / (zB - zA)
+                    b = zmatch["A"] - a * zA
+                    # probe: a first-halo point must land inside g's square
+                    mid = 0.5 * (zA + zB)
+                    outward = (zB - zA) * (-1j)  # right of A→B
+                    probe = a * (mid + 0.05 * outward) + b
+                    if max(abs(probe.real), abs(probe.imag)) > 1.0:
+                        # wrong orientation: swap endpoint correspondence
+                        a = (zmatch["A"] - zmatch["B"]) / (zB - zA)
+                        b = zmatch["B"] - a * zA
+                    motions[f][s] = _Motion(g, complex(a), complex(b))
+                    break
+    return motions
+
+
+def _frame(face):
+    return tuple(np.asarray(v, np.float64) for v in _FACES[face])
+
+
+def _conformal_w(z):
+    """w(z) and w'(z) of the conformal square→stereographic map
+    (vectorized, complex)."""
+    d = np.asarray(conformal_coefficients())
+    z = np.asarray(z, complex)
+    J = _basis_integrals(z.ravel(), d.size)
+    w = (J @ d).reshape(z.shape)
+    z4 = z ** 4 / 4.0
+    psi = np.zeros_like(z)
+    for k in range(d.size - 1, -1, -1):
+        psi = psi * z4 + d[k]
+    dw = (1.0 + z4) ** (1.0 / 3.0) * psi
+    return w, dw
+
+
+def _points(face, xs, ys, map_kind="conformal"):
+    """3D unit vectors for square coords (xs, ys) ∈ ~[-1,1] on a face
+    (xs, ys broadcastable 2D arrays)."""
+    c, e1, e2 = _frame(face)
+    if map_kind == "gnomonic":
+        t1 = np.tan(np.asarray(xs) * np.pi / 4)
+        t2 = np.tan(np.asarray(ys) * np.pi / 4)
+        p = (c[None, None, :] + t1[:, :, None] * e1[None, None, :]
+             + t2[:, :, None] * e2[None, None, :])
+        return p / np.linalg.norm(p, axis=-1, keepdims=True)
+    w, _ = _conformal_w(np.asarray(xs) + 1j * np.asarray(ys))
+    u, v = np.real(w), np.imag(w)
+    r2 = u * u + v * v
+    den = 1.0 + r2
+    Xm, Ym, Zm = 2 * u / den, 2 * v / den, (1 - r2) / den
+    return (Xm[:, :, None] * e1 + Ym[:, :, None] * e2 + Zm[:, :, None] * c)
+
+
+def _xy_of(face, pts, map_kind="conformal"):
+    """Inverse of _points: square coords (x, y) of unit 3D points on a
+    face (Newton on the conformal map; closed form for gnomonic)."""
+    c, e1, e2 = _frame(face)
+    a = pts @ e1
+    b = pts @ e2
+    cc = pts @ c
+    x_g = np.arctan2(a, cc) / (np.pi / 4)
+    y_g = np.arctan2(b, cc) / (np.pi / 4)
+    if map_kind == "gnomonic":
+        return x_g, y_g
+    wt = (a + 1j * b) / (1.0 + cc)          # target stereographic position
+    z = x_g + 1j * y_g                       # gnomonic initial guess
+    for _ in range(12):
+        w, dw = _conformal_w(z)
+        step = (w - wt) / dw
+        z = z - step
+        if np.abs(step).max() < 1e-12:
+            break
+    return np.real(z), np.imag(z)
 
 
 def _arc(a, b):
@@ -64,28 +188,52 @@ def _tri_area(a, b, c):
     return 4.0 * np.arctan(t)
 
 
-class CubedSphereGrid:
-    """6 gnomonic faces × (Nx, Ny) horizontal cells × Nz vertical levels.
+@dataclasses.dataclass
+class _LocMap:
+    """Exchange gather for one staggered location: for every halo node,
+    two candidate sources (the neighbour's x-component lattice and
+    y-component lattice) with bilinear weights and rotation coefficients.
+    Exact node matches have one-hot weights and ±1/0 rotations."""
 
-    Field arrays have shape (6, Nx+2H, Ny+2H, Nz+2Hz). ``face_grid(f)``
-    (or the stacked ``face_grids`` pytree for vmap) exposes the standard
-    metric protocol per face, so every operator works unchanged inside a
-    ``vmap`` over faces; ``fill_halos`` performs the inter-face exchange.
+    hij: tuple          # (i_idx, j_idx) halo positions in storage coords
+    f: jnp.ndarray      # owner face (6, nh)
+    iA: jnp.ndarray     # base indices into source lattice A (x-comp)
+    jA: jnp.ndarray
+    wxA: jnp.ndarray
+    wyA: jnp.ndarray
+    rA: jnp.ndarray     # coefficient multiplying the A-sample
+    iB: jnp.ndarray     # source lattice B (y-comp)
+    jB: jnp.ndarray
+    wxB: jnp.ndarray
+    wyB: jnp.ndarray
+    rB: jnp.ndarray
+
+
+class CubedSphereGrid:
+    """6 faces × (Nx, Ny) horizontal cells × Nz vertical levels.
+
+    Field arrays have shape (6, Nx+2H, Ny+2H, Nz+2Hz). ``face_grids()``
+    exposes the standard metric protocol per face, so every operator
+    works unchanged inside a ``vmap`` over faces; ``fill_halos`` performs
+    the inter-face exchange.
     """
 
     curvilinear = True
 
     def __init__(self, *, size, z=None, radius=6_371_000.0, halo=2,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, map_kind="conformal"):
         if isinstance(size, int):
             size = (size, size, 1)
         N, _, nz = size[0], size[1], size[2]
         if size[1] != N:
             raise ValueError("cubed-sphere faces must be square")
+        if map_kind not in ("conformal", "gnomonic"):
+            raise ValueError(f"unknown map_kind {map_kind!r}")
         self.N = N
         self.H = H = int(halo)
         self.radius = float(radius)
         self.dtype = dtype
+        self.map_kind = map_kind
         z_topo = FLAT if (nz == 1 and z is None) else BOUNDED
         hz = 0 if z_topo is FLAT else max(1, halo)
         if z is None:
@@ -95,20 +243,21 @@ class CubedSphereGrid:
         self._zaxis = _build_axis(nz, hz, z_topo, interval, spec, dtype=dtype)
         self.Nz, self.Hz = nz, hz
 
-        dxi = (np.pi / 2) / N
-        # angle coordinates incl. halos (grid lines continue across edges)
+        d = 2.0 / N
+        self._d = d
         idx = np.arange(-H, N + H + 1)
-        ang_f = -np.pi / 4 + idx * dxi                  # faces, len N+2H+1
-        ang_c = 0.5 * (ang_f[:-1] + ang_f[1:])          # centers, len N+2H
+        sq_f = -1.0 + idx * d                  # faces, len n+1
+        sq_c = 0.5 * (sq_f[:-1] + sq_f[1:])    # centers, len n
+        self._sq_f, self._sq_c = sq_f, sq_c
 
-        # node positions per face (with halos)
-        XF, YF = np.meshgrid(ang_f, ang_f, indexing="ij")
-        XC, YC = np.meshgrid(ang_c, ang_c, indexing="ij")
-        corners = np.stack([_points(f, XF, YF) for f in range(6)])   # (6,n+1,n+1,3)
-        centers = np.stack([_points(f, XC, YC) for f in range(6)])   # (6,n,n,3)
+        XF, YF = np.meshgrid(sq_f, sq_f, indexing="ij")
+        XC, YC = np.meshgrid(sq_c, sq_c, indexing="ij")
+        mk = map_kind
+        corners = np.stack([_points(f, XF, YF, mk) for f in range(6)])
+        centers = np.stack([_points(f, XC, YC, mk) for f in range(6)])
 
         R = self.radius
-        n = ang_c.size
+        n = sq_c.size
         # x-edges (between corners (i,j)→(i+1,j)): (6, n, n+1) → (C, F)
         edge_x = R * _arc(corners[:, :-1, :, :], corners[:, 1:, :, :])
         # y-edges: (6, n+1, n) → (F, C)
@@ -157,90 +306,155 @@ class CubedSphereGrid:
                     (F, C): to(0.5 * (az_cc + np.roll(az_cc, 1, axis=1))),
                     (C, F): to(0.5 * (az_cc + np.roll(az_cc, 1, axis=2)))}
         self._centers3d = centers
-        self._build_exchange_maps(centers, H, N)
+        self._motions_tbl = _side_motions()
+        self._maps = {}
+        self._maps[(C, C)] = self._build_loc_map((C, C))
+        self._maps[(F, C)] = self._build_loc_map((F, C))
+        self._maps[(C, F)] = self._build_loc_map((C, F))
         self._lonlat(centers)
 
-    # -- exchange maps --------------------------------------------------------
-    def _build_exchange_maps(self, centers, H, N):
-        """For every halo node of every face: the owning neighbour face,
-        its fractional (ξ′, η′) position there, and bilinear gather
-        weights over the neighbour's interior cell centers — plus the
-        (u, v) rotation coefficients from projecting the neighbour's
-        tangent basis onto this face's (all computed numerically; no
-        hand-maintained orientation tables)."""
-        n = centers.shape[1]
-        dxi = (np.pi / 2) / N
+    # -- node lattices ----------------------------------------------------------
+    def _lattice_1d(self, l):
+        # storage length is n for every location: face-located dims use
+        # sq_f[:-1] (face i sits between cells i-1 and i)
+        return self._sq_f[:-1] if l is F else self._sq_c
 
-        halo_mask = np.ones((n, n), bool)
+    def _hop(self, z):
+        """Map chart coordinates z (complex array, all in face f's chart,
+        vectorized over faces as leading axis 6) through the side motions
+        into the owning face's chart. Returns (face, z_owner, a_rot):
+        band halos land exactly on the owner's lattice; corner wedges
+        (two hops, 120° corner deficit) land slightly off-lattice."""
+        motions = self._motions_tbl
+        face = np.repeat(np.arange(6)[:, None], z.shape[1], 1)
+        z = z.copy()
+        a = np.ones_like(z)
+        tol = 1e-9
+        # positive sides hop AT the edge too (x=+1 / y=+1 columns are halo
+        # storage — the matching negative-side face computes them); negative
+        # edges are the face's own computed columns and stay
+        for _ in range(2):
+            for ff in range(6):
+                for sd, cond in ((0, z.real > 1 - tol), (1, z.real < -1 - tol),
+                                 (2, z.imag > 1 - tol), (3, z.imag < -1 - tol)):
+                    m = motions[ff][sd]
+                    sel = (face == ff) & cond
+                    if not sel.any():
+                        continue
+                    z[sel] = m.a * z[sel] + m.b
+                    a[sel] = a[sel] * m.a
+                    face[sel] = m.g
+        return face, z, a
+
+    def _node_positions(self, face, loc2):
+        """3D node positions incl. halos: interior nodes from the face's
+        own map; halo nodes from the OWNER's chart (the fitted conformal
+        series is only accurate inside the square — evaluating the owner
+        avoids the ill-posed continuation)."""
+        xs = self._lattice_1d(loc2[0])
+        ys = self._lattice_1d(loc2[1])
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        Z = (X + 1j * Y)[None].repeat(6, 0).reshape(6, -1)
+        fo, zo, _ = self._hop(Z)
+        pts = np.empty((6, Z.shape[1], 3))
+        for g in range(6):
+            sel = fo == g
+            if not sel.any():
+                continue
+            zz = zo[sel]
+            pg = _points(g, zz.real[None], zz.imag[None], self.map_kind)[0]
+            pts[sel] = pg
+        return pts[face].reshape(X.shape + (3,)) if np.isscalar(face) \
+            else pts.reshape((6,) + X.shape + (3,))
+
+    def _nodes(self, face, loc2):
+        return self._node_positions(face, loc2)
+
+    def _tangent(self, face, xs, ys, axis):
+        """Unit tangent along the face's x (axis=0) or y (axis=1)
+        direction at square coords (xs, ys) (interior coords only)."""
+        eps = 1e-6
+        dx = (eps, 0.0) if axis == 0 else (0.0, eps)
+        p1 = _points(face, np.atleast_2d(xs + dx[0]), np.atleast_2d(ys + dx[1]),
+                     self.map_kind)
+        p0 = _points(face, np.atleast_2d(xs - dx[0]), np.atleast_2d(ys - dx[1]),
+                     self.map_kind)
+        t = (p1 - p0)[0]
+        return t / np.linalg.norm(t, axis=-1, keepdims=True)
+
+    # -- exchange maps ----------------------------------------------------------
+    def _build_loc_map(self, loc2):
+        """Per-location exchange map (see _LocMap) built from the chart
+        transition motions: band halo nodes land exactly on the owner's
+        lattice (one-hot gather, rotation = the motion's quarter-turn,
+        giving the reference's exact rotated ±u↔v copies); corner-wedge
+        nodes land off-lattice and use rotated bilinear interpolation."""
+        N, H, d = self.N, self.H, self._d
+        xs = self._lattice_1d(loc2[0])
+        ys = self._lattice_1d(loc2[1])
+        n0, n1 = xs.size, ys.size
+        scalar = loc2 == (C, C)
+        locA = loc2
+        locB = (C, C) if scalar else (loc2[1], loc2[0])
+
+        halo_mask = np.ones((n0, n1), bool)
         halo_mask[H:H + N, H:H + N] = False
         hij = np.argwhere(halo_mask)
-        nh = len(hij)
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        zh = (X[halo_mask] + 1j * Y[halo_mask])[None].repeat(6, 0)
+        fo, zo, a = self._hop(zh)
 
-        frames = [tuple(np.asarray(v, np.float64) for v in fr) for fr in _FACES]
-        cdirs = np.stack([fr[0] for fr in frames])        # (6,3)
+        # my component direction expressed in the owner chart: d/dξ of the
+        # composed motion is the constant a (holomorphic rigid motion).
+        # Lattice A is this location's own lattice (owner's x-component
+        # for u-maps, y-component for v-maps); B is the swapped one.
+        if scalar:
+            rA = np.ones(a.shape)
+            rB = np.zeros(a.shape)
+        elif loc2[0] is F:       # u-located: my x-direction = a
+            rA, rB = a.real, a.imag
+        else:                    # v-located: my y-direction = i·a
+            dirc = 1j * a
+            rA, rB = dirc.imag, dirc.real
 
-        fmap = np.zeros((6, nh), np.int32)
-        i0 = np.zeros((6, nh), np.int32)
-        j0 = np.zeros((6, nh), np.int32)
-        wx = np.zeros((6, nh))
-        wy = np.zeros((6, nh))
-        r11 = np.zeros((6, nh)); r12 = np.zeros((6, nh))
-        r21 = np.zeros((6, nh)); r22 = np.zeros((6, nh))
+        def frac(loc_src):
+            sx = self._lattice_1d(loc_src[0])
+            sy = self._lattice_1d(loc_src[1])
+            fi = (zo.real - sx[0]) / d
+            fj = (zo.imag - sy[0]) / d
+            return fi, fj
 
-        # tangent bases at interior centers (d position / d index, normalized)
-        e1_all = np.gradient(centers, axis=1)
-        e2_all = np.gradient(centers, axis=2)
-        e1_all /= np.linalg.norm(e1_all, axis=-1, keepdims=True)
-        e2_all /= np.linalg.norm(e2_all, axis=-1, keepdims=True)
+        def entries(loc_src):
+            fi, fj = frac(loc_src)
+            ri, rj = np.round(fi), np.round(fj)
+            exact = (np.abs(fi - ri) < 1e-6) & (np.abs(fj - rj) < 1e-6)
+            lo, hi = H, H + N - 1
+            i0 = np.clip(np.where(exact, ri, np.floor(fi)), lo, hi - 1).astype(int)
+            j0 = np.clip(np.where(exact, rj, np.floor(fj)), lo, hi - 1).astype(int)
+            wx = np.clip(np.where(exact, ri, fi) - i0, 0.0, 1.0)
+            wy = np.clip(np.where(exact, rj, fj) - j0, 0.0, 1.0)
+            return i0, j0, wx, wy
 
-        for f in range(6):
-            pts = centers[f][halo_mask]                   # (nh,3)
-            dots = pts @ cdirs.T                          # (nh,6)
-            dots[:, f] = -np.inf                          # owner ≠ self
-            tf = np.argmax(dots, axis=1)
-            for g in range(6):
-                sel = tf == g
-                if not sel.any():
-                    continue
-                c_, e1_, e2_ = frames[g]
-                p = pts[sel]
-                xi = np.arctan2(p @ e1_, p @ c_)
-                eta = np.arctan2(p @ e2_, p @ c_)
-                fi = (xi + np.pi / 4) / dxi - 0.5          # interior index space
-                fj = (eta + np.pi / 4) / dxi - 0.5
-                ii = np.clip(np.floor(fi).astype(int), 0, N - 2)
-                jj = np.clip(np.floor(fj).astype(int), 0, N - 2)
-                fmap[f][sel] = g
-                i0[f][sel] = ii
-                j0[f][sel] = jj
-                wx[f][sel] = np.clip(fi - ii, 0.0, 1.0)
-                wy[f][sel] = np.clip(fj - jj, 0.0, 1.0)
-                # rotation coefficients from the nearest source basis
-                si = np.clip(np.round(fi).astype(int), 0, N - 1) + H
-                sj = np.clip(np.round(fj).astype(int), 0, N - 1) + H
-                my1 = e1_all[f][halo_mask][sel]
-                my2 = e2_all[f][halo_mask][sel]
-                s1 = e1_all[g, si, sj]
-                s2 = e2_all[g, si, sj]
-                r11[f][sel] = (my1 * s1).sum(-1)
-                r12[f][sel] = (my1 * s2).sum(-1)
-                r21[f][sel] = (my2 * s1).sum(-1)
-                r22[f][sel] = (my2 * s2).sum(-1)
+        iA, jA, wxA, wyA = entries(locA)
+        if scalar:
+            iB, jB, wxB, wyB = iA, jA, wxA, wyA
+            rB = np.zeros_like(rA)
+        else:
+            iB, jB, wxB, wyB = entries(locB)
 
-        self._halo_ij = (jnp.asarray(hij[:, 0]), jnp.asarray(hij[:, 1]))
-        self._fmap = jnp.asarray(fmap)
-        self._i0 = jnp.asarray(i0 + H)
-        self._j0 = jnp.asarray(j0 + H)
-        self._wx = jnp.asarray(wx, self.dtype)
-        self._wy = jnp.asarray(wy, self.dtype)
-        self._rot = tuple(jnp.asarray(r, self.dtype)
-                          for r in (r11, r12, r21, r22))
+        J = jnp.asarray
+        dt = self.dtype
+        return _LocMap(
+            (J(hij[:, 0]), J(hij[:, 1])), J(fo.astype(np.int32)),
+            J(iA.astype(np.int32)), J(jA.astype(np.int32)),
+            J(wxA, dt), J(wyA, dt), J(rA, dt),
+            J(iB.astype(np.int32)), J(jB.astype(np.int32)),
+            J(wxB, dt), J(wyB, dt), J(rB, dt))
 
-    def _sample(self, data):
-        """Bilinear sample of neighbour interiors at every halo node."""
-        f, i0, j0 = self._fmap, self._i0, self._j0
-        wx = self._wx[:, :, None]
-        wy = self._wy[:, :, None]
+    @staticmethod
+    def _gather(data, f, i0, j0, wx, wy):
+        wx = wx[:, :, None]
+        wy = wy[:, :, None]
         g00 = data[f, i0, j0, :]
         g10 = data[f, i0 + 1, j0, :]
         g01 = data[f, i0, j0 + 1, :]
@@ -273,22 +487,31 @@ class CubedSphereGrid:
 
     # -- halo filling ----------------------------------------------------------
     def fill_halos(self, data, vector_pair=None):
-        """Inter-face halo exchange by one precomputed gather per face.
+        """Inter-face halo exchange by precomputed gathers.
 
-        `data`: scalar field (6, X, Y, Z). For horizontal velocity pairs
-        call with ``vector_pair=(u, v)`` to apply the tangent-basis
-        rotation at rotated face junctions; returns the filled pair."""
-        hi, hj = self._halo_ij
+        Scalars (cell-centered): exact rotated index copies where halo
+        nodes coincide with neighbour centers, bilinear in the corner
+        wedges. Horizontal velocity pairs (``vector_pair=(u, v)``): the
+        exchange samples both of the neighbour's components on their own
+        staggered lattices and combines with the (snapped) tangent
+        rotation — exact ±u↔v copies at rotated junctions, the analog of
+        reference cubed_sphere_halo_filling.jl."""
         if vector_pair is None:
-            return data.at[:, hi, hj, :].set(self._sample(data))
+            m = self._maps[(C, C)]
+            hi, hj = m.hij
+            s = self._gather(data, m.f, m.iA, m.jA, m.wxA, m.wyA)
+            return data.at[:, hi, hj, :].set(s)
         u, v = vector_pair
-        us = self._sample(u)
-        vs = self._sample(v)
-        r11, r12, r21, r22 = self._rot
-        uh = r11[:, :, None] * us + r12[:, :, None] * vs
-        vh = r21[:, :, None] * us + r22[:, :, None] * vs
-        u = u.at[:, hi, hj, :].set(uh)
-        v = v.at[:, hi, hj, :].set(vh)
+        mu = self._maps[(F, C)]
+        mv = self._maps[(C, F)]
+        hiu, hju = mu.hij
+        uh = (mu.rA[:, :, None] * self._gather(u, mu.f, mu.iA, mu.jA, mu.wxA, mu.wyA)
+              + mu.rB[:, :, None] * self._gather(v, mu.f, mu.iB, mu.jB, mu.wxB, mu.wyB))
+        hiv, hjv = mv.hij
+        vh = (mv.rA[:, :, None] * self._gather(v, mv.f, mv.iA, mv.jA, mv.wxA, mv.wyA)
+              + mv.rB[:, :, None] * self._gather(u, mv.f, mv.iB, mv.jB, mv.wxB, mv.wyB))
+        u = u.at[:, hiu, hju, :].set(uh)
+        v = v.at[:, hiv, hjv, :].set(vh)
         return u, v
 
     # -- per-face grids (for vmap) --------------------------------------------
@@ -301,9 +524,16 @@ class CubedSphereGrid:
             {k: v for k, v in self._az.items()},
             self._zaxis, self.N, self.H, self.Nz, self.Hz, self.dtype)
 
+    def face_axes(self):
+        """in_axes pytree for vmapping face_grids()."""
+        fg = self.face_grids()
+        return jax.tree_util.tree_map(
+            lambda l: 0 if (getattr(l, "ndim", 0) > 0 and l.shape[0] == 6)
+            else None, fg)
+
     def __repr__(self):
         return (f"CubedSphereGrid(6 × {self.N}×{self.N}×{self.Nz}, halo="
-                f"{self.H}, radius={self.radius:g})")
+                f"{self.H}, radius={self.radius:g}, {self.map_kind})")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -407,9 +637,5 @@ def cubed_sphere_tracer_step(grid, c, u, v, dt, scheme):
         w0 = jnp.zeros_like(c_f)
         return -div_Uc(g, scheme, u_f, v_f, w0, c_f)
 
-    # metric leaves carry the face axis; z-axis leaves are shared
-    fg_axes = jax.tree_util.tree_map(
-        lambda l: 0 if (getattr(l, "ndim", 0) > 0 and l.shape[0] == 6) else None,
-        fg)
-    G = jax.vmap(face_div, in_axes=(fg_axes, 0, 0, 0))(fg, u, v, c)
+    G = jax.vmap(face_div, in_axes=(grid.face_axes(), 0, 0, 0))(fg, u, v, c)
     return c + dt * G

@@ -81,3 +81,81 @@ def test_solid_body_rotation_conserves_tracer():
     assert abs(total - total0) / abs(total0) < 2e-2
     # the blob should have moved but kept its amplitude roughly
     assert 0.3 < c_np.max() < 1.3
+
+
+def test_conformal_map_properties():
+    """The conformal map is conformal (w_y = i w_x), maps edges onto the
+    inter-face great circles, and sends the square corner to the cube
+    corner (1,1,1)/sqrt(3). Uniqueness of the conformal map makes this
+    THE Rancic et al. (1996) map the reference uses via CubedSphere.jl."""
+    from clima_oceananigans_jl_tpu.grids.conformal_map import (
+        conformal_cubed_sphere_mapping, conformal_to_stereographic)
+    X, Y, Z = conformal_cubed_sphere_mapping(1.0, 1.0)
+    assert abs(X - 1/np.sqrt(3)) < 1e-7 and abs(Z - 1/np.sqrt(3)) < 1e-7
+    X, Y, Z = conformal_cubed_sphere_mapping(1.0, 0.0)
+    assert abs(X - 1/np.sqrt(2)) < 1e-7 and abs(Z - 1/np.sqrt(2)) < 1e-7
+    eps = 1e-6
+    for (x0, y0) in [(0.3, 0.2), (-0.7, 0.5)]:
+        wx = (conformal_to_stereographic(x0+eps + 1j*y0)
+              - conformal_to_stereographic(x0-eps + 1j*y0)) / (2*eps)
+        wy = (conformal_to_stereographic(x0 + 1j*(y0+eps))
+              - conformal_to_stereographic(x0 + 1j*(y0-eps))) / (2*eps)
+        assert abs(wy - 1j*wx) / abs(wx) < 1e-8
+    for t in np.linspace(-0.9, 0.9, 7):
+        Xp, Yp, Zp = conformal_cubed_sphere_mapping(1.0, t)
+        assert abs(Xp - Zp) < 1e-7  # edge on great circle X=Z
+
+
+def test_exact_rotated_halo_exchange():
+    """Every halo node (scalar AND both velocity components) is an exact
+    rotated index copy of a neighbour node — the analog of the
+    reference's cubed_sphere_halo_filling.jl exact copies, verified by
+    filling interiors with analytic fields of 3D position."""
+    from clima_oceananigans_jl_tpu.utils.location import C, F
+    g = CubedSphereGrid(size=(16, 16, 1), radius=1.0, dtype=jnp.float64,
+                        halo=2)
+    N, H = g.N, g.H
+    # all ACTIVE map entries (nonzero rotation coefficient) must be
+    # one-hot with quarter-turn rotations
+    for loc in ((C, C), (F, C), (C, F)):
+        m = g._maps[loc]
+        for r, wx, wy in ((m.rA, m.wxA, m.wyA), (m.rB, m.wxB, m.wyB)):
+            r = np.asarray(r)
+            act = np.abs(r) > 1e-12
+            assert (np.abs(r - np.round(r)) < 1e-6).all()
+            for w in (np.asarray(wx), np.asarray(wy)):
+                off = np.minimum(np.abs(w), np.abs(1 - w))
+                assert (off[act] < 1e-6).all()
+    # scalar: analytic field of position reproduces halos exactly
+    def ffun(p):
+        return p[..., 0] * p[..., 1] + p[..., 2] ** 2 + 0.3 * p[..., 0]
+    c = jnp.asarray(np.stack([ffun(g._nodes(f, (C, C)))
+                              for f in range(6)])[..., None])
+    c0 = (c * 0.0).at[:, H:H+N, H:H+N].set(c[:, H:H+N, H:H+N])
+    assert np.abs(np.asarray(g.fill_halos(c0) - c)).max() < 1e-12
+
+
+def test_cubed_sphere_tracer_conservation_exact():
+    """With the exact exchange, the advective tracer step conserves
+    total tracer mass (sum c * Az) to roundoff."""
+    g = CubedSphereGrid(size=(16, 16, 1), radius=1.0, dtype=jnp.float64,
+                        halo=3)
+    from clima_oceananigans_jl_tpu.advection.schemes import UpwindBiasedThirdOrder
+    N, H = g.N, g.H
+    rng = np.random.RandomState(0)
+    n = N + 2 * H
+    c = jnp.zeros((6, n, n, 1)).at[:, H:H+N, H:H+N, 0].set(
+        rng.rand(6, N, N))
+    u = jnp.zeros_like(c).at[:, H:H+N, H:H+N, 0].set(0.1 * rng.randn(6, N, N))
+    v = jnp.zeros_like(c).at[:, H:H+N, H:H+N, 0].set(0.1 * rng.randn(6, N, N))
+    az = g._az[(jnp.zeros(1).dtype and __import__("clima_oceananigans_jl_tpu.utils.location", fromlist=["C"]).C,) * 2] \
+        if False else g._az[list(g._az)[0]]
+    from clima_oceananigans_jl_tpu.utils.location import C as _C
+    az = g._az[(_C, _C)]
+    mass0 = float(jnp.sum(g.interior(c) * g.interior(jnp.broadcast_to(az[..., None] if az.ndim == 3 else az, c.shape))))
+    cs = c
+    for _ in range(3):
+        cs = cubed_sphere_tracer_step(g, cs, u, v, 1e-3,
+                                      UpwindBiasedThirdOrder())
+    mass1 = float(jnp.sum(g.interior(cs) * g.interior(jnp.broadcast_to(az[..., None] if az.ndim == 3 else az, c.shape))))
+    assert abs(mass1 - mass0) < 1e-10 * abs(mass0)
