@@ -372,14 +372,18 @@ class CubedSphereGrid:
 
     def _tangent(self, face, xs, ys, axis):
         """Unit tangent along the face's x (axis=0) or y (axis=1)
-        direction at square coords (xs, ys) (interior coords only)."""
+        direction at square coords (xs, ys) — any matching shapes
+        (interior coords only)."""
         eps = 1e-6
         dx = (eps, 0.0) if axis == 0 else (0.0, eps)
-        p1 = _points(face, np.atleast_2d(xs + dx[0]), np.atleast_2d(ys + dx[1]),
-                     self.map_kind)
-        p0 = _points(face, np.atleast_2d(xs - dx[0]), np.atleast_2d(ys - dx[1]),
-                     self.map_kind)
-        t = (p1 - p0)[0]
+        xs = np.asarray(xs, float)
+        ys = np.asarray(ys, float)
+        shape = xs.shape
+        p1 = _points(face, (xs + dx[0]).reshape(1, -1),
+                     (ys + dx[1]).reshape(1, -1), self.map_kind)[0]
+        p0 = _points(face, (xs - dx[0]).reshape(1, -1),
+                     (ys - dx[1]).reshape(1, -1), self.map_kind)[0]
+        t = (p1 - p0).reshape(shape + (3,))
         return t / np.linalg.norm(t, axis=-1, keepdims=True)
 
     # -- exchange maps ----------------------------------------------------------
