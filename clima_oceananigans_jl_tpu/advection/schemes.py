@@ -125,9 +125,13 @@ class UpwindBiasedFifthOrder(AdvectionScheme):
 
 @dataclasses.dataclass(frozen=True)
 class WENO5(AdvectionScheme):
-    """5th-order WENO (Jiang & Shu smoothness weights), uniform-grid
-    coefficients (reference weno_fifth_order.jl; stretched-grid ENO
-    tables are a planned extension).
+    """5th-order WENO (Jiang & Shu smoothness weights). Uniform-grid
+    constant coefficients on regular axes; on stretched axes
+    ``transport`` supplies per-index stencil-coefficient and
+    optimal-weight tables derived from the grid's node positions
+    (reference weno_fifth_order.jl:21-60 stretched coefficient tuples;
+    see advection/reconstruction_tables.py), evaluated via
+    ``table_reconstruct``.
 
     ``fast_bf16=True`` evaluates the nonlinear reconstruction in
     bfloat16 (the TPU VPU's double-rate dtype) and casts the result back
@@ -173,17 +177,17 @@ class WENO5(AdvectionScheme):
         b2 = (13.0 / 12.0) * (v0 - 2 * vm1 + vm2) ** 2 + 0.25 * (3 * v0 - 4 * vm1 + vm2) ** 2
         return self._combine(p0, p1, p2, b0, b1, b2)
 
-    def _combine(self, p0, p1, p2, b0, b1, b2):
-        # single-division form: αk = ck/(βk+ε)² → multiply through by
+    def _combine(self, p0, p1, p2, b0, b1, b2, d=(0.1, 0.6, 0.3)):
+        # single-division form: αk = dk/(βk+ε)² → multiply through by
         # Π(βj+ε)² so the weights become polynomials (divisions are
         # multi-pass on the TPU VPU; this keeps exactly one)
         eps = self.eps
         t0 = (b0 + eps) * (b0 + eps)
         t1 = (b1 + eps) * (b1 + eps)
         t2 = (b2 + eps) * (b2 + eps)
-        g0 = 0.1 * (t1 * t2)
-        g1 = 0.6 * (t0 * t2)
-        g2 = 0.3 * (t0 * t1)
+        g0 = d[0] * (t1 * t2)
+        g1 = d[1] * (t0 * t2)
+        g2 = d[2] * (t0 * t1)
         num = g0 * p0 + g1 * p1 + g2 * p2
         den = g0 + g1 + g2
         if PALLAS_FAST_DIV and num.dtype == jnp.float32:
@@ -241,6 +245,36 @@ class WENO5(AdvectionScheme):
 
         return (self._combine(p0L, p1L, p2L, b0L, b1L, b2L),
                 self._combine(p0R, p1R, p2R, b0R, b1R, b2R))
+
+    def table_reconstruct(self, v, axis, tables, side):
+        """Biased reconstruction using per-index coefficient tables
+        (stretched axes; reconstruction_tables.weno5_tables). The
+        smoothness indicators keep the uniform Jiang–Shu formulas with
+        geometry-exact stencil polynomials and optimal weights."""
+        if self.fast_bf16:
+            out = self._table_eval(v.astype(jnp.bfloat16), axis, tables[side])
+            return out.astype(v.dtype)
+        return self._table_eval(v, axis, tables[side])
+
+    def _table_eval(self, v, axis, side_tables):
+        def bx(arr):
+            shape = [1] * v.ndim
+            shape[axis] = arr.shape[0]
+            return arr.reshape(shape).astype(v.dtype)
+
+        ps, bs, ds = [], [], []
+        for d, cj, voff, kind in side_tables:
+            w0, w1, w2 = (shift(v, o, axis) for o in voff)
+            ps.append(bx(cj[0]) * w0 + bx(cj[1]) * w1 + bx(cj[2]) * w2)
+            if kind == 0:
+                t2 = w0 - 4.0 * w1 + 3.0 * w2
+            elif kind == 1:
+                t2 = w0 - w2
+            else:
+                t2 = 3.0 * w0 - 4.0 * w1 + w2
+            bs.append((13.0 / 12.0) * (w0 - 2.0 * w1 + w2) ** 2 + 0.25 * t2 * t2)
+            ds.append(bx(d))
+        return self._combine(*ps, *bs, d=tuple(ds))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -353,7 +387,17 @@ def transport(scheme, vel, c, axis, to_f, grid=None):
             hi = _select_reduced(masks[0], axis, hi,
                                  if_(c, axis) if to_f else ic(c, axis))
         return vel * hi
-    if hasattr(scheme, "left_right_to_f"):  # shared-subexpression pair
+    tables = None
+    if grid is not None and isinstance(scheme, WENO5):
+        from .reconstruction_tables import weno5_tables
+        tables = weno5_tables(grid, axis, to_f)
+    if tables is not None:  # stretched axis: per-index coefficients
+        L = scheme.table_reconstruct(c, axis, tables, "left")
+        R = scheme.table_reconstruct(c, axis, tables, "right")
+        if isinstance(scheme, BoundsPreservingWENO5):
+            L = scheme._clip(L, c, axis, to_f)
+            R = scheme._clip(R, c, axis, to_f)
+    elif hasattr(scheme, "left_right_to_f"):  # shared-subexpression pair
         L, R = (scheme.left_right_to_f(c, axis) if to_f
                 else scheme.left_right_to_c(c, axis))
     elif to_f:
