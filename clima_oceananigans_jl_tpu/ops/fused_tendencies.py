@@ -70,6 +70,12 @@ class ConstMetricGrid:
         return self.ddx * self.ddy * self.ddz
 
 
+#: widest 2D (squeezed-z) full-row lane window the Mosaic compiler
+#: handles; beyond it the 2D kernel tiles y in 128-multiple windows
+#: (tests lower this to exercise the tiled layout on small grids)
+FULL_ROW_MAX_NY = 1100
+
+
 class _fast_div:
     """Trace-time context: enables WENO5's approx-reciprocal division
     while a Pallas kernel body is being traced."""
@@ -143,21 +149,37 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
 
     if nz == 1 and hz == 0:
         # 2D fields: squeeze z so y is the lane dimension (a trailing
-        # size-1 lane dim would waste 127/128 of the VPU); tile x only,
-        # y-window = full array dim (the lane-128 rule's exemption)
+        # size-1 lane dim would waste 127/128 of the VPU). Two layouts:
+        #   * small grids (ny_tot ≤ 1100): tile x only, y-window = full
+        #     array dim (the lane-128 rule's exemption);
+        #   * large grids: tile y too, in 128-multiple lane windows
+        #     (full rows at ny ≥ ~4096 hang the Mosaic compiler). The
+        #     y-tiled layout needs relative (not absolute) y positions
+        #     in-kernel, so bounded-y order-reduction masks rule it out —
+        #     the model gates those grids to the XLA path.
         ny_tot = ny + 2 * hy
-        legal_2d = any(nx % d == 0 and d % 8 == 0 and (d + 2 * hx) % 8 == 0
-                       and (d + 2 * hx) * ny_tot * 4 <= 700_000
-                       for d in range(1, nx + 1))
-        # wide rows make the Mosaic compile pathologically slow (hangs
-        # observed at ny >= 4096); keep the compiled 2D path for small
-        # grids and fall back to the XLA path otherwise
-        if not legal_2d or (interpret is False or interpret is None) and ny_tot > 1100:
+        full_row = ny_tot <= FULL_ROW_MAX_NY
+        from ..grids.topology import BOUNDED
+        y_bounded = (getattr(grid, "topology", (None,) * 3)[1] is BOUNDED)
+        if not full_row and y_bounded:
             return None
 
         def wrapped2d(*inputs):
             itemsize = inputs[0].dtype.itemsize
             budget = 700_000
+            if full_row:
+                ty = ny_tot  # includes halos; no y grid dim
+            else:
+                ty = None
+                for d in range(128, ny + 1, 128):
+                    if ny % d == 0 and (8 + 2 * hx) * (d + 2 * hy) * itemsize \
+                            <= budget:
+                        ty = d
+                        if d >= 512:  # wide enough to amortize halo re-reads
+                            break
+                if ty is None:
+                    return None
+            ty_w = ty if full_row else ty + 2 * hy
             tx = None
             for d in range(1, nx + 1):
                 if nx % d:
@@ -166,7 +188,7 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 # sit in the sublane dim: keep each a multiple of 8
                 if d % 8 != 0 or (d + 2 * hx) % 8 != 0:
                     continue
-                if (d + 2 * hx) * ny_tot * itemsize <= budget:
+                if (d + 2 * hx) * ty_w * itemsize <= budget:
                     tx = d
             if tx is None:
                 return None  # no legal tiling → caller falls back to jnp
@@ -176,25 +198,36 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 in_refs = refs[:len(inputs)]
                 out_refs = refs[len(inputs):]
                 blocks = [r[:][:, :, None] for r in in_refs]
+                ysl = slice(None) if full_row else slice(hy, hy + ty)
                 with _fast_div():
                     outs = fn(*blocks)
                 for o_ref, o in zip(out_refs, outs):
-                    o_ref[:] = o[hx:hx + tx, :, 0]
+                    o_ref[:] = o[hx:hx + tx, ysl, 0]
 
-            win = pl.BlockSpec((pl.Element(tx + 2 * hx), pl.Element(ny_tot)),
-                               lambda i: (i * tx, 0))
-            out_spec = pl.BlockSpec((tx, ny_tot), lambda i: (i, 0))
-            out_shape = jax.ShapeDtypeStruct((nx, ny_tot), inputs[0].dtype)
+            if full_row:
+                win = pl.BlockSpec((pl.Element(tx + 2 * hx), pl.Element(ny_tot)),
+                                   lambda i: (i * tx, 0))
+                out_spec = pl.BlockSpec((tx, ny_tot), lambda i: (i, 0))
+                out_shape = jax.ShapeDtypeStruct((nx, ny_tot), inputs[0].dtype)
+                pgrid = (nx // tx,)
+                pad = ((hx, hx), (0, 0))
+            else:
+                win = pl.BlockSpec((pl.Element(tx + 2 * hx),
+                                    pl.Element(ty + 2 * hy)),
+                                   lambda i, j: (i * tx, j * ty))
+                out_spec = pl.BlockSpec((tx, ty), lambda i, j: (i, j))
+                out_shape = jax.ShapeDtypeStruct((nx, ny), inputs[0].dtype)
+                pgrid = (nx // tx, ny // ty)
+                pad = ((hx, hx), (hy, hy))
             outs = pl.pallas_call(
                 kernel,
-                grid=(nx // tx,),
+                grid=pgrid,
                 in_specs=[win] * len(inputs),
                 out_specs=[out_spec] * n_out,
                 out_shape=[out_shape] * n_out,
                 interpret=interpret,
             )(*ins2)
-            return tuple(jnp.pad(o, ((hx, hx), (0, 0)))[:, :, None]
-                         for o in outs)
+            return tuple(jnp.pad(o, pad)[:, :, None] for o in outs)
 
         return wrapped2d
 

@@ -48,16 +48,60 @@ def _dct2_matrix(N, dtype):
     return (s * C).astype(dtype)
 
 
+def _rdft_matrix(N, dtype):
+    """Orthonormal real-DFT matrix B (N×N): rows ordered by the
+    wavenumber index of `_rdft_wavenumbers` — constant, then
+    interleaved cos/sin pairs for k = 1..N/2−1, then the Nyquist
+    (−1)ⁿ row for even N.  B is orthogonal (inverse = Bᵀ) and
+    diagonalizes every symmetric circulant, so the periodic-axis
+    Poisson transform becomes ONE real MXU matmul each way instead of a
+    complex FFT — no half-spectrum bookkeeping, no complex arithmetic.
+    """
+    j = jnp.arange(N, dtype=dtype)[None, :]
+    rows = [jnp.full((1, N), 1.0 / jnp.sqrt(jnp.asarray(float(N), dtype)))]
+    for k in range(1, (N - 1) // 2 + 1):
+        ang = 2.0 * jnp.pi * k * j / N
+        s = jnp.sqrt(jnp.asarray(2.0 / N, dtype))
+        rows.append(s * jnp.cos(ang))
+        rows.append(s * jnp.sin(ang))
+    if N % 2 == 0:
+        rows.append((jnp.where(jnp.arange(N) % 2 == 0, 1.0, -1.0)[None, :]
+                     / jnp.sqrt(jnp.asarray(float(N), dtype))).astype(dtype))
+    return jnp.concatenate(rows, 0).astype(dtype)
+
+
+def _rdft_wavenumbers(N):
+    """Wavenumber index of each `_rdft_matrix` row (for eigenvalue
+    reordering): [0, 1, 1, 2, 2, …, N/2]."""
+    kk = [0]
+    for k in range(1, (N - 1) // 2 + 1):
+        kk += [k, k]
+    if N % 2 == 0:
+        kk.append(N // 2)
+    return jnp.asarray(kk)
+
+
 def _matmul_along(b, M, axis):
     """Apply M (K×N) along `axis` of b: out[...,k,...] = Σ_n M[k,n] b[n].
-    One MXU contraction — on TPU this beats the FFT-lowered DCT by ~an
-    order of magnitude in both traffic and time for N ≤ ~1024."""
+    One MXU contraction — on TPU this beats the FFT lowering by ~an
+    order of magnitude in both traffic and time for N ≤ ~1024.
+    Precision HIGHEST keeps the transform at fp32 accuracy (multi-pass
+    bf16 on the MXU); the matmuls are far from the HBM roofline so the
+    extra passes are free."""
     out = jnp.tensordot(b, M, axes=[[axis], [1]],
-                        preferred_element_type=b.dtype)
+                        preferred_element_type=b.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, -1, axis)
 
 
+#: Override for the MXU-matmul transform path: None = auto (TPU only),
+#: True/False force it on/off (tests force True on CPU for coverage).
+FORCE_MXU = None
+
+
 def _use_mxu_dct(b, axis):
+    if FORCE_MXU is not None:
+        return FORCE_MXU and not jnp.iscomplexobj(b)
     return (jax.default_backend() == "tpu" and not jnp.iscomplexobj(b)
             and b.shape[axis] <= 1024)
 
@@ -96,28 +140,37 @@ class FFTPoissonSolver:
         return tuple(a for a in range(3) if self.topology[a] is topo)
 
     def solve(self, rhs, m=0.0):
-        """(∇² + m)φ = rhs (interior arrays, no halos). The first periodic
-        axis uses a real FFT (halved spectrum — halves the transform and
-        eigen-divide traffic for real inputs)."""
+        """(∇² + m)φ = rhs (interior arrays, no halos). On TPU every
+        transform axis is ONE real orthogonal matmul each way on the MXU
+        (DCT-II for bounded, real-DFT for periodic — see _rdft_matrix);
+        elsewhere the first periodic axis uses a real FFT (halved
+        spectrum) and the rest complex FFTs."""
         dct_axes = self._axes_of(BOUNDED)
-        fft_axes = self._axes_of(PERIODIC)
-        use_rfft = bool(fft_axes) and not jnp.iscomplexobj(rhs)
-        r_axis = fft_axes[0] if use_rfft else None
-        c_axes = tuple(a for a in fft_axes if a != r_axis)
+        all_fft_axes = self._axes_of(PERIODIC)
+        eig = list(self.eigenvalues)
 
         b = rhs
+        mm_axes = tuple(a for a in all_fft_axes if _use_mxu_dct(rhs, a))
+        for a in mm_axes:
+            n_a = b.shape[a]
+            b = _matmul_along(b, _rdft_matrix(n_a, b.dtype), a)
+            kk = _rdft_wavenumbers(n_a)
+            eig[a] = jnp.take(eig[a], kk, axis=a)
+        fft_axes = tuple(a for a in all_fft_axes if a not in mm_axes)
         for a in dct_axes:
             if _use_mxu_dct(b, a):
                 b = _matmul_along(b, _dct2_matrix(b.shape[a], b.dtype), a)
             else:
                 b = jfft.dct(b, type=2, axis=a, norm="ortho")
+        use_rfft = bool(fft_axes) and not jnp.iscomplexobj(b)
+        r_axis = fft_axes[0] if use_rfft else None
+        c_axes = tuple(a for a in fft_axes if a != r_axis)
         if use_rfft:
             n_r = b.shape[r_axis]
             b = jnp.fft.rfft(b, axis=r_axis)
         if c_axes:
             b = jnp.fft.fftn(b, axes=c_axes)
 
-        eig = list(self.eigenvalues)
         if use_rfft:
             sl = [slice(None)] * 3
             sl[r_axis] = slice(0, n_r // 2 + 1)
@@ -141,4 +194,6 @@ class FFTPoissonSolver:
                                                       phi.dtype).T, a)
             else:
                 phi = jfft.idct(phi, type=2, axis=a, norm="ortho")
+        for a in reversed(mm_axes):
+            phi = _matmul_along(phi, _rdft_matrix(phi.shape[a], phi.dtype).T, a)
         return phi.astype(self.dtype)

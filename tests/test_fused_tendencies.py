@@ -63,3 +63,42 @@ def test_fused_shallow_water_matches_jnp():
         a = np.asarray(model.grid.interior(G_f[name]))
         b = np.asarray(model.grid.interior(G_j[name]))
         assert np.allclose(a, b, atol=1e-12), name
+
+
+def test_fused_shallow_water_ytiled_matches_jnp():
+    """The y-tiled 2D layout (production path for ny beyond the Mosaic
+    full-row limit) must agree with the jnp path; forced here by
+    dropping FULL_ROW_MAX_NY below the grid's ny."""
+    import copy
+    from clima_oceananigans_jl_tpu import FLAT
+    from clima_oceananigans_jl_tpu.models.shallow_water import ShallowWaterModel
+    import clima_oceananigans_jl_tpu.ops.fused_tendencies as ft
+
+    grid = RectilinearGrid(size=(16, 256, 1), x=(0, 1), y=(0, 1),
+                           topology=(PERIODIC, PERIODIC, FLAT),
+                           dtype=jnp.float64)
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=10.0,
+                              advection=WENO5(), tracers=("c",))
+    state = model.initial_state(
+        uh=lambda x, y, z: 0.1 * jnp.sin(2 * jnp.pi * x) * jnp.cos(2 * jnp.pi * y),
+        h=1.0, c=lambda x, y, z: jnp.sin(2 * jnp.pi * y))
+    state = dict(state, solution=model.fill_all_halos(state["solution"]))
+
+    m_jnp = copy.copy(model); m_jnp.fused_advection = False
+    m_fused = copy.copy(model); m_fused.fused_advection = True
+    orig = ft.pallas_fuse
+    ft_interpret = lambda fn, grid, n_out, interpret=None: orig(fn, grid, n_out,
+                                                               interpret=True)
+    ft.pallas_fuse, saved = ft_interpret, orig
+    old_max = ft.FULL_ROW_MAX_NY
+    try:
+        ft.FULL_ROW_MAX_NY = 64  # force the y-tiled layout (ty = 128)
+        G_f = m_fused.tendencies(state)
+    finally:
+        ft.pallas_fuse = saved
+        ft.FULL_ROW_MAX_NY = old_max
+    G_j = m_jnp.tendencies(state)
+    for name in ("uh", "vh", "h", "c"):
+        a = np.asarray(model.grid.interior(G_f[name]))
+        b = np.asarray(model.grid.interior(G_j[name]))
+        assert np.allclose(a, b, atol=1e-12), name

@@ -141,3 +141,61 @@ def test_mxu_dct_matrix_matches_fft_dct():
         assert np.abs(np.asarray(ref - got)).max() < 1e-12
         inv = _matmul_along(got, _dct2_matrix(b.shape[ax], b.dtype).T, ax)
         assert np.abs(np.asarray(inv - b)).max() < 1e-12
+
+
+@pytest.mark.parametrize("tx,ty,tz", list(itertools.product(TOPOS, TOPOS, TOPOS)))
+def test_fft_solver_mxu_matmul_path(tx, ty, tz):
+    """The all-matmul transform path (real-DFT / DCT on the MXU; the
+    production path on TPU) must agree with the FFT lowering."""
+    from clima_oceananigans_jl_tpu.solvers import fft_poisson as fp
+    n = (8, 12, 10)
+    g = RectilinearGrid(size=n, extent=(1.0, 1.3, 0.7), topology=(tx, ty, tz),
+                        dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    rhs = jnp.asarray(rng.standard_normal(n))
+    rhs = rhs - rhs.mean()
+    solver = FFTPoissonSolver.build(g)
+    try:
+        fp.FORCE_MXU = True
+        phi_mm = solver.solve(rhs)
+    finally:
+        fp.FORCE_MXU = None
+    phi_fft = solver.solve(rhs)
+    np.testing.assert_allclose(np.asarray(phi_mm), np.asarray(phi_fft),
+                               atol=1e-9)
+    # and an odd size exercises the no-Nyquist-row branch
+    n = (7, 7, 7)
+    g = RectilinearGrid(size=n, extent=(1.0, 1.0, 1.0),
+                        topology=(tx, ty, tz), dtype=jnp.float64)
+    rhs = jnp.asarray(np.random.default_rng(12).standard_normal(n))
+    rhs = rhs - rhs.mean()
+    solver = FFTPoissonSolver.build(g)
+    try:
+        fp.FORCE_MXU = True
+        phi_mm = solver.solve(rhs)
+    finally:
+        fp.FORCE_MXU = None
+    np.testing.assert_allclose(np.asarray(phi_mm), np.asarray(solver.solve(rhs)),
+                               atol=1e-9)
+
+
+@pytest.mark.parametrize("tx,ty", [(PERIODIC, PERIODIC), (PERIODIC, BOUNDED),
+                                   (BOUNDED, BOUNDED)])
+def test_fourier_tridiagonal_mxu_matmul_path(tx, ty):
+    from clima_oceananigans_jl_tpu.solvers import fft_poisson as fp
+    faces = np.concatenate(
+        [[0.0], np.cumsum(np.random.default_rng(5).uniform(0.5, 1.5, 8))])
+    g = RectilinearGrid(size=(8, 8, 8), x=(0, 1), y=(0, 1), z=faces,
+                        topology=(tx, ty, BOUNDED), dtype=jnp.float64)
+    rhs = np.random.default_rng(9).standard_normal((8, 8, 8))
+    w = np.asarray(g.interior(jnp.broadcast_to(g.V(CENTER), g.total_shape)))
+    rhs -= (rhs * w).sum() / w.sum()
+    solver = FourierTridiagonalSolver.build(g)
+    try:
+        fp.FORCE_MXU = True
+        phi_mm = solver.solve(jnp.asarray(rhs))
+    finally:
+        fp.FORCE_MXU = None
+    phi_fft = solver.solve(jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(phi_mm), np.asarray(phi_fft),
+                               atol=1e-9)
