@@ -370,7 +370,22 @@ def _select_reduced(bounds, axis, hi_arr, lo_arr):
     return jnp.where((idx >= lo) & (idx <= hi), hi_arr, lo_arr)
 
 
-def transport(scheme, vel, c, axis, to_f, grid=None):
+def _immersed_clear(imm, data_loc, axis, to_f, buffer):
+    """True where every cell the high-order stencil reads is fluid
+    (the whole-array analog of the reference's conditional fluxes,
+    conditional_fluxes.jl:1-193: stencils touching solid cells drop to
+    the 2nd-order reconstruction; solid-adjacent faces carry zero
+    velocity via the peripheral mask, so their fluxes vanish)."""
+    solid = imm.mask_for(tuple(data_loc))
+    lo, hi = (-(buffer + 1), buffer) if to_f else (-buffer, buffer + 1)
+    near = solid
+    for o in range(lo, hi + 1):
+        if o:
+            near = near | shift(solid, o, axis)
+    return ~near
+
+
+def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
     """Advective transport vel·ψ at the flux location along `axis`.
 
     `to_f=True`: flux face-located along axis (c centered there); else the
@@ -378,14 +393,23 @@ def transport(scheme, vel, c, axis, to_f, grid=None):
     the flux location. When `grid` is given and the axis is BOUNDED,
     high-order reconstructions drop to second-order centered within
     `required_halo` cells of the walls (reference
-    topologically_conditional_interpolation.jl).
+    topologically_conditional_interpolation.jl). When `grid` carries an
+    immersed boundary (ImmersedGrid) and `data_loc` names the advected
+    field's location, stencils touching solid cells likewise drop to
+    second order (conditional_fluxes.jl).
     """
     masks = reduced_order_masks(grid, axis, scheme) if grid is not None else None
+    imm = getattr(grid, "immersed", None) if grid is not None else None
+    clear = None
+    if imm is not None and data_loc is not None and scheme.buffer > 0:
+        clear = _immersed_clear(imm, data_loc, axis, to_f, scheme.buffer)
     if not scheme.is_upwind:
         hi = scheme.sym_to_f(c, axis) if to_f else scheme.sym_to_c(c, axis)
         if masks is not None:
             hi = _select_reduced(masks[0], axis, hi,
                                  if_(c, axis) if to_f else ic(c, axis))
+        if clear is not None:
+            hi = jnp.where(clear, hi, if_(c, axis) if to_f else ic(c, axis))
         return vel * hi
     tables = None
     if grid is not None and isinstance(scheme, WENO5):
@@ -408,4 +432,8 @@ def transport(scheme, vel, c, axis, to_f, grid=None):
         lo = if_(c, axis) if to_f else ic(c, axis)
         L = _select_reduced(masks[1], axis, L, lo)
         R = _select_reduced(masks[2], axis, R, lo)
+    if clear is not None:
+        lo = if_(c, axis) if to_f else ic(c, axis)
+        L = jnp.where(clear, L, lo)
+        R = jnp.where(clear, R, lo)
     return upwind_biased_product(vel, L, R)

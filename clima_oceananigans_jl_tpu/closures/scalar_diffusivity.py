@@ -114,14 +114,27 @@ def div_kappa_grad(c, grid, loc, kappa, kappa_z=None, horizontal_only=False,
     kz = kappa if kappa_z is None else kappa_z
     kx = _kappa_at_flux_loc(kappa, loc, 0)
     ky = _kappa_at_flux_loc(kappa, loc, 1)
-    fx = grid.Ax(op.flip_loc(loc, 0)) * (kx * op.dd(c, grid, 0, loc))
-    fy = grid.Ay(op.flip_loc(loc, 1)) * (ky * op.dd(c, grid, 1, loc))
+    imm = getattr(grid, "immersed", None)
+
+    def _zero_solid(f, axis):
+        # no diffusive flux through immersed faces (reference
+        # immersed_boundary_condition.jl default no-flux behavior); also
+        # keeps masked-zero solid values from acting as Dirichlet-0
+        if imm is None:
+            return f
+        return jnp.where(imm.mask_for(tuple(op.flip_loc(loc, axis))), 0.0, f)
+
+    fx = _zero_solid(grid.Ax(op.flip_loc(loc, 0))
+                     * (kx * op.dd(c, grid, 0, loc)), 0)
+    fy = _zero_solid(grid.Ay(op.flip_loc(loc, 1))
+                     * (ky * op.dd(c, grid, 1, loc)), 1)
     out = (op.delta(fx, 0, op.flip_loc(loc, 0))
            + op.delta(fy, 1, op.flip_loc(loc, 1)))
     if vertical and not horizontal_only:
         kz_from = (_C, _C, _F) if kappa_z_at_faces else None
         kzf = _kappa_at_flux_loc(kz, loc, 2, from_loc=kz_from)
-        fz = grid.Az(op.flip_loc(loc, 2)) * (kzf * op.dd(c, grid, 2, loc))
+        fz = _zero_solid(grid.Az(op.flip_loc(loc, 2))
+                         * (kzf * op.dd(c, grid, 2, loc)), 2)
         out = out + op.delta(fz, 2, op.flip_loc(loc, 2))
     return out / grid.V(loc)
 

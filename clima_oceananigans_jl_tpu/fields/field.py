@@ -128,21 +128,29 @@ def set_field(field: Field, grid, value, t=0.0) -> Field:
 
 
 # -- metric-weighted reductions ----------------------------------------------
-def integral(field: Field, grid, dims=(0, 1, 2)):
-    """∫ f dV over interior (volume-weighted along the reduced dims)."""
+def _reduction_weight(field, grid, dims):
+    """Metric weight along the reduced dims; on an ImmersedGrid, solid
+    cells at the field's location get zero weight (reference
+    immersed_reductions.jl — reductions see only the fluid)."""
     w = jnp.ones((), grid.dtype)
     metrics = (grid.dx, grid.dy, grid.dz)
     for d in dims:
         w = w * metrics[d](field.loc)
+    imm = getattr(grid, "immersed", None)
+    if imm is not None:
+        w = jnp.where(imm.mask_for(tuple(field.loc)), 0.0, w)
+    return w
+
+
+def integral(field: Field, grid, dims=(0, 1, 2)):
+    """∫ f dV over interior (volume-weighted along the reduced dims)."""
+    w = _reduction_weight(field, grid, dims)
     integrand = field.data * w
     return jnp.sum(grid.interior(integrand), axis=tuple(dims))
 
 
 def average(field: Field, grid, dims=(0, 1, 2)):
-    w = jnp.ones((), grid.dtype)
-    metrics = (grid.dx, grid.dy, grid.dz)
-    for d in dims:
-        w = w * metrics[d](field.loc)
+    w = _reduction_weight(field, grid, dims)
     w = jnp.broadcast_to(w, field.data.shape)
     num = jnp.sum(grid.interior(field.data * w), axis=tuple(dims))
     den = jnp.sum(grid.interior(w), axis=tuple(dims))

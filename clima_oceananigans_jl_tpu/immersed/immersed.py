@@ -61,13 +61,23 @@ class ImmersedBoundary:
                    _face_mask(solid, 2))
 
     def mask_for(self, loc):
+        """Solid mask at any staggered location: a node is solid when any
+        adjacent cell center is solid (the reference's peripheral-node
+        rule, extended to corner locations like (F,F,C))."""
+        loc = tuple(loc)
         if loc == U_LOC:
             return self.solid_fcc
         if loc == V_LOC:
             return self.solid_cfc
         if loc == W_LOC:
             return self.solid_ccf
-        return self.solid_ccc
+        if loc == (C, C, C):
+            return self.solid_ccc
+        m = self.solid_ccc
+        for a in range(3):
+            if loc[a] is F:
+                m = m | jnp.roll(m, 1, axis=a)
+        return m
 
     def mask_field(self, data, loc, value=0.0):
         """Zero (or set) a field inside the solid
@@ -83,6 +93,74 @@ class ImmersedBoundary:
 
     def mask_tendency(self, model, name, G):
         return self.mask_field(G, model._locs().get(name, CENTER))
+
+
+@jax.tree_util.register_pytree_node_class
+class ImmersedGrid:
+    """Grid wrapper carrying an immersed boundary — the TPU analog of the
+    reference's ImmersedBoundaryGrid (ImmersedBoundaries.jl:103). Models
+    wrap their (halo-inflated) grid in this internally when an immersed
+    boundary is supplied; everything forwards to the parent grid, and
+
+    * ``.immersed`` exposes the boundary's masks — advection's
+      ``transport`` consults it for conditional (reduced-order /
+      zeroed) fluxes near the solid (conditional_fluxes.jl), and field
+      reductions exclude solid cells (immersed_reductions.jl);
+    * PartialCellBottom overrides the vertical metrics with 3D arrays
+      whose bottom-adjacent cells have fractional heights
+      (partial_cell_immersed_boundaries.jl) — legal everywhere the
+      operators broadcast metrics, which is all of them.
+    """
+
+    def __init__(self, parent, boundary, dz_ccc=None, dz_ccf=None):
+        self.parent = parent
+        self.boundary = boundary
+        self._dz_ccc = dz_ccc
+        self._dz_ccf = dz_ccf
+
+    @classmethod
+    def wrap(cls, parent, boundary):
+        return cls(parent, boundary, getattr(boundary, "dz_ccc", None),
+                   getattr(boundary, "dz_ccf", None))
+
+    def tree_flatten(self):
+        return (self.parent, self.boundary, self._dz_ccc, self._dz_ccf), ()
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        obj = object.__new__(cls)
+        (obj.parent, obj.boundary, obj._dz_ccc, obj._dz_ccf) = leaves
+        return obj
+
+    @property
+    def immersed(self):
+        return self.boundary
+
+    def __getattr__(self, name):
+        if name.startswith("__") or "parent" not in self.__dict__:
+            raise AttributeError(name)
+        return getattr(self.parent, name)
+
+    def __repr__(self):
+        return f"ImmersedGrid({self.parent!r})"
+
+    # -- partial-cell vertical metrics --------------------------------------
+    def spacing(self, axis, loc):
+        if axis == 2 and self._dz_ccc is not None:
+            return self._dz_ccc if loc[2] is C else self._dz_ccf
+        return self.parent.spacing(axis, loc)
+
+    def dz(self, loc):
+        return self.spacing(2, loc)
+
+    def Ax(self, loc):
+        return self.parent.dy(loc) * self.dz(loc)
+
+    def Ay(self, loc):
+        return self.parent.dx(loc) * self.dz(loc)
+
+    def V(self, loc):
+        return self.parent.Az(loc) * self.dz(loc)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,3 +182,62 @@ class GridFittedBottom:
 
     def build(self, grid):
         return ImmersedBoundary.from_bottom_height(grid, self.bottom_height)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PartialCellBoundary(ImmersedBoundary):
+    """Bottom immersed boundary with fractional (partial) bottom cells
+    (reference partial_cell_immersed_boundaries.jl:11): the lowest fluid
+    cell of each column is shortened to the actual water depth above the
+    bathymetry, clamped at ``minimum_fraction`` of the full cell. The 3D
+    Δz arrays feed ImmersedGrid's vertical-metric overrides."""
+
+    dz_ccc: jnp.ndarray = None
+    dz_ccf: jnp.ndarray = None
+
+    def tree_flatten(self):
+        return (self.solid_ccc, self.solid_fcc, self.solid_cfc,
+                self.solid_ccf, self.dz_ccc, self.dz_ccf), ()
+
+    @classmethod
+    def tree_unflatten(cls, static, leaves):
+        return cls(*leaves)
+
+    @classmethod
+    def from_bottom(cls, grid, bottom, minimum_fraction=0.2):
+        x, y, _ = grid.nodes(CENTER, with_halo=True)
+        h = bottom(x, y) if callable(bottom) else jnp.asarray(bottom, grid.dtype)
+        h = jnp.asarray(h, grid.dtype)
+        ax = grid._axes[2]
+        z_bot = ax.cf.reshape(1, 1, -1)
+        dz = ax.dc.reshape(1, 1, -1)
+        z_top = z_bot + dz
+        # a cell is solid iff its top face is at/below the bottom height;
+        # the partially-submerged cell keeps a fluid sliver
+        solid = jnp.broadcast_to(z_top <= h, grid.total_shape)
+        partial = (z_bot < h) & (z_top > h)
+        dz_eff = jnp.where(partial,
+                           jnp.maximum(z_top - h, minimum_fraction * dz), dz)
+        dz_ccc = jnp.broadcast_to(dz_eff, grid.total_shape).astype(grid.dtype)
+        # face spacing = distance between effective cell centers
+        zc_eff = z_top - 0.5 * dz_eff
+        dz_f = zc_eff - jnp.roll(zc_eff, 1, axis=2)
+        df = ax.df.reshape(1, 1, -1)
+        dz_f = dz_f.at[:, :, :1].set(jnp.broadcast_to(df, dz_f.shape)[:, :, :1])
+        dz_ccf = jnp.broadcast_to(dz_f, grid.total_shape).astype(grid.dtype)
+        return cls(solid, _face_mask(solid, 0), _face_mask(solid, 1),
+                   _face_mask(solid, 2), dz_ccc, dz_ccf)
+
+
+@dataclasses.dataclass(frozen=True)
+class PartialCellBottom:
+    """Spec: GridFittedBottom with partial (fractional-height) bottom
+    cells (reference PartialCellBottom)."""
+
+    bottom_height: Any
+    minimum_fraction: float = 0.2
+
+    def build(self, grid):
+        return PartialCellBoundary.from_bottom(grid, self.bottom_height,
+                                               self.minimum_fraction)

@@ -47,7 +47,7 @@ class HydrostaticFreeSurfaceModel:
                  tracer_advection="default",
                  free_surface=None, buoyancy=None, coriolis=None, closure=None,
                  tracers=None, forcing=None, boundary_conditions=None,
-                 particles=None):
+                 particles=None, immersed_boundary=None):
         if grid.topology[2] is FLAT:
             raise ValueError("HydrostaticFreeSurfaceModel needs a z direction")
         # None explicitly disables a term (reference `advection = nothing`)
@@ -70,6 +70,17 @@ class HydrostaticFreeSurfaceModel:
         h_req = max(getattr(self.momentum_advection, "required_halo", 1),
                     getattr(self.tracer_advection, "required_halo", 1), 1)
         self.grid = grid.with_halo((h_req, h_req, h_req))
+        # immersed boundary: masks built on the final grid, grid wrapped
+        # (reference ImmersedBoundaryGrid) so flux-form advection applies
+        # conditional near-solid fluxes; PartialCellBottom additionally
+        # installs 3D vertical metrics. VectorInvariant momentum relies on
+        # the state/tendency masking alone (first-order at the boundary).
+        if immersed_boundary is not None and hasattr(immersed_boundary, "build"):
+            immersed_boundary = immersed_boundary.build(self.grid)
+        self.immersed_boundary = immersed_boundary
+        if immersed_boundary is not None:
+            from ..immersed.immersed import ImmersedGrid
+            self.grid = ImmersedGrid.wrap(self.grid, immersed_boundary)
         self.free_surface = (free_surface if free_surface is not None
                              else ImplicitFreeSurface())
         self.buoyancy = buoyancy
@@ -98,7 +109,7 @@ class HydrostaticFreeSurfaceModel:
     def tree_flatten(self):
         leaves = (self.grid, self.free_surface, self.buoyancy, self.coriolis,
                   self.closure, self.bcs, self.eta_bcs, self.w_bcs,
-                  self.pressure_bcs, self.particles)
+                  self.pressure_bcs, self.particles, self.immersed_boundary)
         fk = tuple(sorted(self.forcing))
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
@@ -110,7 +121,7 @@ class HydrostaticFreeSurfaceModel:
         obj = object.__new__(cls)
         (obj.grid, obj.free_surface, obj.buoyancy, obj.coriolis, obj.closure,
          obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs,
-         obj.particles) = leaves
+         obj.particles, obj.immersed_boundary) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
          obj.ab2_chi, fk, fv) = static
         obj.forcing = dict(zip(fk, fv))
@@ -179,6 +190,9 @@ class HydrostaticFreeSurfaceModel:
         sol = self.fill_all_halos(state["solution"], t)
         eta = fill2d(state["eta"], self.grid, ETA_LOC, self.eta_bcs, t)
         state = dict(state, solution=sol, eta=eta)
+        if self.immersed_boundary is not None:
+            state = self.immersed_boundary.mask_state(self, state)
+            sol = state["solution"]
         state = dict(state, w=self.compute_w(sol))
         tr = {n: sol[n] for n in self.tracer_names}
         diff = compute_closure_diffusivities(
@@ -256,6 +270,9 @@ class HydrostaticFreeSurfaceModel:
                 G[name] = G[name] + self.forcing[name](grid, clock, fields)
             G[name] = apply_flux_bcs(G[name], grid, locs[name],
                                      self.bcs[name], clock.time)
+        if self.immersed_boundary is not None:
+            G = {k: self.immersed_boundary.mask_tendency(self, k, g_arr)
+                 for k, g_arr in G.items()}
         return G
 
     # -- stepping ---------------------------------------------------------------

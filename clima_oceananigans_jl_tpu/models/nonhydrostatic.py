@@ -92,9 +92,15 @@ class NonhydrostaticModel:
         self.timestepper = timestepper
         self.ab2_chi = 0.1
         # build immersed-boundary masks on the final (halo-inflated) grid
+        # and wrap it (reference ImmersedBoundaryGrid) so advection sees
+        # the conditional-flux masks; the fused kernel is gated off
         if immersed_boundary is not None and hasattr(immersed_boundary, "build"):
             immersed_boundary = immersed_boundary.build(self.grid)
         self.immersed_boundary = immersed_boundary
+        if immersed_boundary is not None:
+            from ..immersed.immersed import ImmersedGrid
+            self.grid = ImmersedGrid.wrap(self.grid, immersed_boundary)
+            self.fused_advection = False
         self.particles = particles  # LagrangianParticles or None
         self.pressure_solver = select_pressure_solver(self.grid)
         user_bcs = boundary_conditions or {}

@@ -37,34 +37,46 @@ def _ixyff(h):
 
 
 def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
-                     bathymetry=None):
+                     bathymetry=None, parts=None):
     """Advection + pressure-gradient + mass tendencies (the fused-kernel
-    core: pure stencil math over any grid-metric provider)."""
-    u_cc = st.ixc(uh)
-    v_ff = st.ixf(vh)
-    flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False, grid) / h
-    flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True, grid) / _ixyff(h)
-    div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
+    core: pure stencil math over any grid-metric provider).
 
-    u_ff = st.iyf(uh)
-    v_cc = st.iyc(vh)
-    flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True, grid) / _ixyff(h)
-    flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False, grid) / h
-    div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
+    ``parts``: optional subset of {"uh", "vh", "h", ("c", i)} — only the
+    named tendencies are computed/returned (in canonical order). The
+    y-tiled 2D kernel runs one small pallas_call per part: the full
+    fused expression's live-temporary stack overflows the TPU scoped-
+    vmem (register spill) budget at large grids."""
+    want = lambda k: parts is None or k in parts
+    outs = []
 
-    half_g_h2 = 0.5 * g * h * h
-    Guh = -div_mom_u - st.dxf(half_g_h2) / grid.dx(U_LOC)
-    Gvh = -div_mom_v - st.dyf(half_g_h2) / grid.dy(V_LOC)
+    if want("uh"):
+        u_cc = st.ixc(uh)
+        v_ff = st.ixf(vh)
+        flux_huu = grid.Ax(CENTER) * transport(scheme, u_cc, uh, 0, False, grid) / h
+        flux_hvu = grid.Ay((F, F, C)) * transport(scheme, v_ff, uh, 1, True, grid) / _ixyff(h)
+        div_mom_u = (st.dxf(flux_huu) + st.dyc(flux_hvu)) / grid.V(U_LOC)
+        Guh = -div_mom_u - st.dxf(0.5 * g * h * h) / grid.dx(U_LOC)
+        if bathymetry is not None:
+            Guh = Guh + g * st.ixf(h) * st.dxf(bathymetry) / grid.dx(U_LOC)
+        outs.append(Guh)
 
-    if bathymetry is not None:
-        Guh = Guh + g * st.ixf(h) * st.dxf(bathymetry) / grid.dx(U_LOC)
-        Gvh = Gvh + g * st.iyf(h) * st.dyf(bathymetry) / grid.dy(V_LOC)
+    if want("vh"):
+        u_ff = st.iyf(uh)
+        v_cc = st.iyc(vh)
+        flux_huv = grid.Ax((F, F, C)) * transport(scheme, u_ff, vh, 0, True, grid) / _ixyff(h)
+        flux_hvv = grid.Ay(CENTER) * transport(scheme, v_cc, vh, 1, False, grid) / h
+        div_mom_v = (st.dxc(flux_huv) + st.dyf(flux_hvv)) / grid.V(V_LOC)
+        Gvh = -div_mom_v - st.dyf(0.5 * g * h * h) / grid.dy(V_LOC)
+        if bathymetry is not None:
+            Gvh = Gvh + g * st.iyf(h) * st.dyf(bathymetry) / grid.dy(V_LOC)
+        outs.append(Gvh)
 
-    Gh = -(st.dxc(grid.Ax(U_LOC) * uh)
-           + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER)
+    if want("h"):
+        outs.append(-(st.dxc(grid.Ax(U_LOC) * uh)
+                      + st.dyc(grid.Ay(V_LOC) * vh)) / grid.V(CENTER))
 
-    Gcs = []
-    if tracers:
+    if tracers and (parts is None
+                    or any(want(("c", i)) for i in range(len(tracers)))):
         # tracers ride the VELOCITY u = uh/h̄ˣ, not the transport
         # (reference transport_tracer_flux_x/y + c_div_U,
         # shallow_water_advection_operators.jl:88-145)
@@ -72,12 +84,14 @@ def _core_tendencies(grid, scheme, tracer_scheme, g, uh, vh, h, tracers,
         v_vel = vh / st.iyf(h)
         div_U = (st.dxc(grid.Ax(U_LOC) * u_vel)
                  + st.dyc(grid.Ay(V_LOC) * v_vel)) / grid.V(CENTER)
-        for c in tracers:
+        for i, c in enumerate(tracers):
+            if not want(("c", i)):
+                continue
             fx = grid.Ax(U_LOC) * transport(tracer_scheme, u_vel, c, 0, True, grid)
             fy = grid.Ay(V_LOC) * transport(tracer_scheme, v_vel, c, 1, True, grid)
             div_Uc = (st.dxc(fx) + st.dyc(fy)) / grid.V(CENTER)
-            Gcs.append(-div_Uc + c * div_U)
-    return (Guh, Gvh, Gh, *Gcs)
+            outs.append(-div_Uc + c * div_U)
+    return tuple(outs)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -120,9 +134,16 @@ class ShallowWaterModel:
                       and grid.topology[0] is not BOUNDED
                       and formulation == "conservative")
         # fused 2D Pallas tiles need the x-window (sublane dim) to be a
-        # multiple of 8, so pad the x-halo to a multiple of 4
+        # multiple of 8, so pad the x-halo to a multiple of 4; beyond the
+        # Mosaic full-row lane limit the kernel tiles y in 128-multiple
+        # windows, which needs a 64-multiple y-halo
         hx = -(-h_req // 4) * 4 if want_fused else h_req
-        self.grid = grid.with_halo((hx, h_req, 0))
+        from ..ops import fused_tendencies as _ftmod
+        hy = h_req
+        if (want_fused and grid.topology[1] is not BOUNDED
+                and grid.shape[1] + 2 * h_req > _ftmod.FULL_ROW_MAX_NY):
+            hy = 64
+        self.grid = grid.with_halo((hx, hy, 0))
         self.g = gravitational_acceleration
         self.g_const = float(gravitational_acceleration)
         self.fused_advection = bool(want_fused and self.grid.all_regular)
@@ -288,15 +309,34 @@ class ShallowWaterModel:
             hB = self.bathymetry
             n_extra = 1 if hB is not None else 0
 
-            def core(uh_b, vh_b, h_b, *rest):
-                bath = rest[-1] if n_extra else None
-                trs = rest[:len(tracer_arrays)]
-                return _core_tendencies(cg, scheme, self.tracer_advection,
-                                        self.g_const, uh_b, vh_b, h_b, trs, bath)
-
             args = [uh, vh, h] + tracer_arrays + ([hB] if hB is not None else [])
-            fused = pallas_fuse(core, grid, 3 + len(tracer_arrays))
-            outs = fused(*args) if fused is not None else None
+            parts = ["uh", "vh", "h"] + [("c", i)
+                                         for i in range(len(tracer_arrays))]
+
+            def core_for(selected):
+                def core(uh_b, vh_b, h_b, *rest):
+                    bath = rest[-1] if n_extra else None
+                    trs = rest[:len(tracer_arrays)]
+                    return _core_tendencies(cg, scheme, self.tracer_advection,
+                                            self.g_const, uh_b, vh_b, h_b,
+                                            trs, bath, parts=selected)
+                return core
+
+            if grid.Ny + 2 * grid.Hy <= _ft.FULL_ROW_MAX_NY:
+                fused = pallas_fuse(core_for(None), grid,
+                                    3 + len(tracer_arrays))
+                outs = fused(*args) if fused is not None else None
+            else:
+                # y-tiled regime: one pallas_call per tendency — the full
+                # fused temp stack spills past the scoped-vmem budget
+                outs = []
+                for part in parts:
+                    fk = pallas_fuse(core_for({part}), grid, 1)
+                    o = fk(*args) if fk is not None else None
+                    if o is None:
+                        outs = None
+                        break
+                    outs.append(o[0])
             if outs is None:  # no legal tiling for this dtype → jnp path
                 outs = _core_tendencies(grid, scheme, self.tracer_advection, g,
                                         uh, vh, h, tracer_arrays, self.bathymetry)

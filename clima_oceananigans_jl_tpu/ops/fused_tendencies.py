@@ -96,6 +96,7 @@ def supports_fused_advection(grid):
     # absolute positions, which the tiled x/y windows cannot express
     from ..grids.topology import BOUNDED
     return (not grid.curvilinear and grid.all_regular
+            and getattr(grid, "immersed", None) is None
             and grid.topology[0] is not BOUNDED
             and grid.topology[1] is not BOUNDED
             and grid.Hy >= 1 and grid.Nz >= 1)
@@ -152,21 +153,28 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
         # size-1 lane dim would waste 127/128 of the VPU). Two layouts:
         #   * small grids (ny_tot ≤ 1100): tile x only, y-window = full
         #     array dim (the lane-128 rule's exemption);
-        #   * large grids: tile y too, in 128-multiple lane windows
-        #     (full rows at ny ≥ ~4096 hang the Mosaic compiler). The
-        #     y-tiled layout needs relative (not absolute) y positions
-        #     in-kernel, so bounded-y order-reduction masks rule it out —
-        #     the model gates those grids to the XLA path.
+        #   * large grids: tile y too. Mosaic requires lane-dim blocks
+        #     divisible by 128 (or full), so the y-halo must be a
+        #     64-multiple (window = ty + 2·64) — the model inflates its
+        #     y-halo accordingly. The y-tiled layout needs relative (not
+        #     absolute) y positions in-kernel, so bounded-y
+        #     order-reduction masks rule it out — the model gates those
+        #     grids to the XLA path.
         ny_tot = ny + 2 * hy
         full_row = ny_tot <= FULL_ROW_MAX_NY
         from ..grids.topology import BOUNDED
         y_bounded = (getattr(grid, "topology", (None,) * 3)[1] is BOUNDED)
-        if not full_row and y_bounded:
+        if not full_row and (y_bounded
+                             or (not interpret and (2 * hy) % 128 != 0)):
             return None
 
         def wrapped2d(*inputs):
             itemsize = inputs[0].dtype.itemsize
-            budget = 700_000
+            # y-tiled windows get a much tighter budget: the register
+            # allocator's spill space scales with block size × the WENO
+            # temp stack (200 KB blocks overflowed the 128 MB scoped-vmem
+            # spill budget at 8192²)
+            budget = 700_000 if full_row else 50_000
             if full_row:
                 ty = ny_tot  # includes halos; no y grid dim
             else:
@@ -175,7 +183,10 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                     if ny % d == 0 and (8 + 2 * hx) * (d + 2 * hy) * itemsize \
                             <= budget:
                         ty = d
-                        if d >= 512:  # wide enough to amortize halo re-reads
+                        # wider lane windows amortize the 64-row halo
+                        # re-reads, but Mosaic compile time blows up with
+                        # lane width (hang observed at 640); 256 compiles
+                        if d >= 256:
                             break
                 if ty is None:
                     return None
@@ -212,12 +223,15 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 pgrid = (nx // tx,)
                 pad = ((hx, hx), (0, 0))
             else:
+                # grid order (j, i): x innermost, so the pipeline stages
+                # (tx+2hx)-row strips, not full-x columns (which blew the
+                # 16 MB scoped-vmem limit at 8192²)
                 win = pl.BlockSpec((pl.Element(tx + 2 * hx),
                                     pl.Element(ty + 2 * hy)),
-                                   lambda i, j: (i * tx, j * ty))
-                out_spec = pl.BlockSpec((tx, ty), lambda i, j: (i, j))
+                                   lambda j, i: (i * tx, j * ty))
+                out_spec = pl.BlockSpec((tx, ty), lambda j, i: (i, j))
                 out_shape = jax.ShapeDtypeStruct((nx, ny), inputs[0].dtype)
-                pgrid = (nx // tx, ny // ty)
+                pgrid = (ny // ty, nx // tx)
                 pad = ((hx, hx), (hy, hy))
             outs = pl.pallas_call(
                 kernel,

@@ -1,0 +1,158 @@
+"""Immersed-boundary depth (VERDICT round-2 item 8): ImmersedGrid
+wrapper, conditional near-solid advective fluxes, diffusive-flux zeroing
+at immersed faces, immersed-aware reductions, PartialCellBottom
+(reference: ImmersedBoundaries.jl, conditional_fluxes.jl,
+immersed_reductions.jl, partial_cell_immersed_boundaries.jl)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clima_oceananigans_jl_tpu import (
+    BOUNDED, PERIODIC, RectilinearGrid, WENO5, CENTER)
+from clima_oceananigans_jl_tpu.immersed.immersed import (
+    GridFittedBottom, ImmersedGrid, PartialCellBottom)
+from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+from clima_oceananigans_jl_tpu.models.hydrostatic import (
+    HydrostaticFreeSurfaceModel as HydrostaticModel)
+from clima_oceananigans_jl_tpu.utils.location import C, F
+
+
+def _seamount(x, y):
+    return -1.0 + 0.6 * jnp.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2) / 0.02)
+
+
+def _bottom_model(**kw):
+    g = RectilinearGrid(size=(16, 16, 16), x=(0, 1), y=(0, 1), z=(-1, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    return NonhydrostaticModel(g, immersed_boundary=GridFittedBottom(_seamount),
+                               **kw)
+
+
+def test_immersed_grid_forwards_and_masks():
+    model = _bottom_model(tracers=("c",))
+    g = model.grid
+    assert isinstance(g, ImmersedGrid)
+    assert g.shape == (16, 16, 16) and g.topology[2] is BOUNDED
+    assert g.all_regular and not g.curvilinear
+    ib = g.immersed
+    # corner-location mask: (F,F,C) is the OR of 4 adjacent centers
+    m_ffc = np.asarray(ib.mask_for((F, F, C)))
+    s = np.asarray(ib.solid_ccc)
+    expect = s | np.roll(s, 1, 0) | np.roll(s, 1, 1) | np.roll(np.roll(s, 1, 0), 1, 1)
+    assert (m_ffc == expect).all()
+    assert not model.fused_advection
+
+
+def test_conditional_advection_conserves_fluid_tracer():
+    model = _bottom_model(advection=WENO5(), tracer_advection=WENO5(),
+                          tracers=("c",))
+    g = model.grid
+    x, y, z = g.nodes(CENTER, with_halo=True)
+    c0 = jnp.exp(-((x - 0.3) ** 2 + (y - 0.5) ** 2) / 0.02) * jnp.ones_like(z)
+    u0 = 0.1 * jnp.ones(g.total_shape, g.dtype)
+    state = model.initial_state(u=u0, c=c0)
+    fluid_w = jnp.where(g.immersed.solid_ccc, 0.0, 1.0) * g.V(CENTER)
+    total = lambda s: float(jnp.sum(g.interior(s["solution"]["c"] * fluid_w)))
+    t0 = total(state)
+    step = jax.jit(model.step)
+    for _ in range(10):
+        state = step(state, 1e-3)
+    c = np.asarray(g.interior(state["solution"]["c"]))
+    assert np.isfinite(c).all()
+    assert abs(total(state) - t0) < 1e-9 * abs(t0)
+    # masked-zero solid values must not leak through high-order stencils:
+    # overshoot stays modest (pure WENO near a wall of zeros would ring)
+    assert c.min() > -1e-3 and c.max() < 1.2
+
+
+def test_diffusive_flux_zeroed_at_solid_faces():
+    """A tracer uniform in the fluid must stay exactly uniform under pure
+    diffusion — solid cells (masked to 0) must not act as Dirichlet-0."""
+    from clima_oceananigans_jl_tpu.closures.scalar_diffusivity import (
+        ScalarDiffusivity)
+    model = _bottom_model(closure=ScalarDiffusivity(nu=1e-2, kappa=1e-2),
+                          tracers=("c",))
+    g = model.grid
+    state = model.initial_state(c=1.0)
+    step = jax.jit(model.step)
+    for _ in range(5):
+        state = step(state, 1e-3)
+    c = np.asarray(g.interior(state["solution"]["c"]))
+    fluid = ~np.asarray(g.interior(g.immersed.solid_ccc))
+    np.testing.assert_allclose(c[fluid], 1.0, atol=1e-12)
+
+
+def test_immersed_reductions_exclude_solid():
+    from clima_oceananigans_jl_tpu.fields.field import (
+        CenterField, average, integral, set_field)
+    model = _bottom_model()
+    g = model.grid
+    f = set_field(CenterField(g), g, 2.5)
+    avg = float(average(f, g))
+    np.testing.assert_allclose(avg, 2.5, rtol=1e-12)
+    vol = float(integral(set_field(CenterField(g), g, 1.0), g))
+    fluid_v = float(jnp.sum(g.interior(
+        jnp.where(g.immersed.solid_ccc, 0.0, 1.0)
+        * jnp.broadcast_to(g.V(CENTER), g.total_shape))))
+    np.testing.assert_allclose(vol, fluid_v, rtol=1e-12)
+    assert vol < 1.0  # strictly less than the full box: solid excluded
+
+
+def test_partial_cell_bottom_metrics_and_model():
+    n = 16
+    g = RectilinearGrid(size=(n, 4, 8), x=(0, 1), y=(0, 1), z=(-1, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    bottom = lambda x, y: -1.0 + 0.45 * (x - x + 1) * jnp.sin(jnp.pi * x) ** 2
+    model = HydrostaticModel(g, immersed_boundary=PartialCellBottom(bottom),
+                             tracers=("c",))
+    ig = model.grid
+    assert isinstance(ig, ImmersedGrid)
+    ib = ig.immersed
+    # fluid column heights match the analytic depth (partial bottom cell)
+    dz3 = np.asarray(ig.dz(CENTER) * jnp.where(ib.solid_ccc, 0.0, 1.0))
+    Hz, Nz = ig.Hz, ig.Nz
+    col = dz3[:, :, Hz:Hz + Nz].sum(-1)
+    x, y, _ = ig.nodes(CENTER, with_halo=True)
+    depth = np.broadcast_to(np.asarray(-bottom(x, y))[:, :, 0], col.shape)
+    interior = (slice(ig.Hx, ig.Hx + ig.Nx), slice(ig.Hy, ig.Hy + ig.Ny))
+    # exact wherever the sliver exceeds the minimum fraction (dz=0.125,
+    # min sliver 0.025)
+    err = np.abs(col[interior] - depth[interior])
+    assert np.median(err) < 0.025 + 1e-12
+    assert (col[interior] > 0).all()
+    # the model runs and stays finite with the 3D vertical metrics
+    state = model.initial_state(c=1.0)
+    step = jax.jit(model.step)
+    for _ in range(3):
+        state = step(state, 10.0)
+    for name, arr in state["solution"].items():
+        assert np.isfinite(np.asarray(arr)).all(), name
+
+
+def test_hydrostatic_immersed_runs_and_conserves():
+    g = RectilinearGrid(size=(16, 16, 8), x=(0, 1e5), y=(0, 1e5), z=(-1e3, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    ridge = lambda x, y: -1e3 + 400.0 * jnp.exp(-((x - 5e4) ** 2) / (1e4) ** 2)
+    from clima_oceananigans_jl_tpu.advection.schemes import CenteredSecondOrder
+    model = HydrostaticModel(g, immersed_boundary=GridFittedBottom(ridge),
+                             tracers=("c",), tracer_advection=WENO5())
+    x, y, z = model.grid.nodes(CENTER, with_halo=True)
+    state = model.initial_state(
+        u=0.1 * jnp.ones(model.grid.total_shape, model.grid.dtype),
+        c=jnp.exp(-((x - 3e4) ** 2) / (1e4) ** 2) * jnp.ones_like(y + z))
+    ig = model.grid
+    fluid_w = jnp.where(ig.immersed.solid_ccc, 0.0, 1.0) * ig.V(CENTER)
+    total = lambda s: float(jnp.sum(ig.interior(s["solution"]["c"] * fluid_w)))
+    t0 = total(state)
+    step = jax.jit(model.step)
+    for _ in range(5):
+        state = step(state, 50.0)
+    assert np.isfinite(np.asarray(ig.interior(state["solution"]["c"]))).all()
+    # the linear free surface exchanges tracer through z=0 (w_top ≠ 0
+    # where the ridge blocks the flow), so the interior budget closes
+    # only to O(η/H); strict conservation is covered by the
+    # nonhydrostatic test above
+    assert abs(total(state) - t0) < 1e-3 * abs(t0)
