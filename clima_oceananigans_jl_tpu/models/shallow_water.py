@@ -134,16 +134,9 @@ class ShallowWaterModel:
                       and grid.topology[0] is not BOUNDED
                       and formulation == "conservative")
         # fused 2D Pallas tiles need the x-window (sublane dim) to be a
-        # multiple of 8, so pad the x-halo to a multiple of 4; beyond the
-        # Mosaic full-row lane limit the kernel tiles y in 128-multiple
-        # windows, which needs a 64-multiple y-halo
+        # multiple of 8, so pad the x-halo to a multiple of 4
         hx = -(-h_req // 4) * 4 if want_fused else h_req
-        from ..ops import fused_tendencies as _ftmod
-        hy = h_req
-        if (want_fused and grid.topology[1] is not BOUNDED
-                and grid.shape[1] + 2 * h_req > _ftmod.FULL_ROW_MAX_NY):
-            hy = 64
-        self.grid = grid.with_halo((hx, hy, 0))
+        self.grid = grid.with_halo((hx, h_req, 0))
         self.g = gravitational_acceleration
         self.g_const = float(gravitational_acceleration)
         self.fused_advection = bool(want_fused and self.grid.all_regular)
@@ -322,21 +315,9 @@ class ShallowWaterModel:
                                             trs, bath, parts=selected)
                 return core
 
-            if grid.Ny + 2 * grid.Hy <= _ft.FULL_ROW_MAX_NY:
-                fused = pallas_fuse(core_for(None), grid,
-                                    3 + len(tracer_arrays))
-                outs = fused(*args) if fused is not None else None
-            else:
-                # y-tiled regime: one pallas_call per tendency — the full
-                # fused temp stack spills past the scoped-vmem budget
-                outs = []
-                for part in parts:
-                    fk = pallas_fuse(core_for({part}), grid, 1)
-                    o = fk(*args) if fk is not None else None
-                    if o is None:
-                        outs = None
-                        break
-                    outs.append(o[0])
+            fused = pallas_fuse(core_for(None), grid,
+                                3 + len(tracer_arrays))
+            outs = fused(*args) if fused is not None else None
             if outs is None:  # no legal tiling for this dtype → jnp path
                 outs = _core_tendencies(grid, scheme, self.tracer_advection, g,
                                         uh, vh, h, tracer_arrays, self.bathymetry)

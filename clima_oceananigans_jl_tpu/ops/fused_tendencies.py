@@ -27,8 +27,15 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+
+#: scoped-vmem ceiling for the fused kernels (default is 16 MB; v5e has
+#: 128 MB physical VMEM). The WENO kernels keep ~30 window-sized temps
+#: live, so realistic windows need ~20-60 MB of compiler "stack".
+_VMEM_LIMIT = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,10 +145,12 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
     """Tile ANY whole-array stencil function into one fused Pallas pass.
 
     ``fn(*blocks) -> tuple of n_out blocks`` evaluates the stencil math on
-    (tx+2hx, ty+2hy, zt) VMEM windows (reusing the ordinary jnp stencil
-    code); the wrapper returns a function over with-halo arrays producing
-    with-halo outputs whose x/y halos are zero-padded. Regular grids only
-    (metrics must be compile-time constants inside ``fn``)."""
+    (tx+2hx, ty+2hy, zt) VMEM windows — (tx+2hx, row) 2D windows on
+    squeezed-z grids, where ``fn`` must be ndim-agnostic (axes 0/1 only) —
+    reusing the ordinary jnp stencil code; the wrapper returns a function
+    over with-halo arrays producing with-halo outputs whose x/y halos are
+    zero-padded. Regular grids only (metrics must be compile-time
+    constants inside ``fn``)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     nx, ny, nz = grid.shape
@@ -150,47 +159,37 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
 
     if nz == 1 and hz == 0:
         # 2D fields: squeeze z so y is the lane dimension (a trailing
-        # size-1 lane dim would waste 127/128 of the VPU). Two layouts:
-        #   * small grids (ny_tot ≤ 1100): tile x only, y-window = full
-        #     array dim (the lane-128 rule's exemption);
-        #   * large grids: tile y too. Mosaic requires lane-dim blocks
-        #     divisible by 128 (or full), so the y-halo must be a
-        #     64-multiple (window = ty + 2·64) — the model inflates its
-        #     y-halo accordingly. The y-tiled layout needs relative (not
-        #     absolute) y positions in-kernel, so bounded-y
-        #     order-reduction masks rule it out — the model gates those
-        #     grids to the XLA path.
+        # size-1 lane dim would waste 127/128 of the VPU). The kernel
+        # window spans the FULL y row (the lane-128 rule's full-dim
+        # exemption) and tiles x in 8-multiple sublane windows. Rows
+        # wider than FULL_ROW_MAX_NY break the Mosaic compiler (hangs /
+        # register-spill scoped-vmem OOM — y-tiled Element lane windows
+        # fared even worse, 21 MB spills at 24 KB blocks), so large
+        # grids are CHUNKED along y at the XLA level: overlapping
+        # (nx_tot, yc+2hy) slices each run the same proven full-row
+        # kernel (one compilation — identical shapes), and the interiors
+        # concatenate back. Overlap overhead is 2hy/yc ≈ 0.6%.
         ny_tot = ny + 2 * hy
         full_row = ny_tot <= FULL_ROW_MAX_NY
         from ..grids.topology import BOUNDED
         y_bounded = (getattr(grid, "topology", (None,) * 3)[1] is BOUNDED)
-        if not full_row and (y_bounded
-                             or (not interpret and (2 * hy) % 128 != 0)):
-            return None
+        yc = None
+        if not full_row:
+            if y_bounded:
+                # chunk-relative y positions can't express the absolute
+                # bounded-y order-reduction masks
+                return None
+            for cand in (1024, 512, 256, 128, 64, 32):
+                if ny % cand == 0 and cand + 2 * hy <= FULL_ROW_MAX_NY:
+                    yc = cand
+                    break
+            if yc is None:
+                return None
 
         def wrapped2d(*inputs):
             itemsize = inputs[0].dtype.itemsize
-            # y-tiled windows get a much tighter budget: the register
-            # allocator's spill space scales with block size × the WENO
-            # temp stack (200 KB blocks overflowed the 128 MB scoped-vmem
-            # spill budget at 8192²)
-            budget = 700_000 if full_row else 50_000
-            if full_row:
-                ty = ny_tot  # includes halos; no y grid dim
-            else:
-                ty = None
-                for d in range(128, ny + 1, 128):
-                    if ny % d == 0 and (8 + 2 * hx) * (d + 2 * hy) * itemsize \
-                            <= budget:
-                        ty = d
-                        # wider lane windows amortize the 64-row halo
-                        # re-reads, but Mosaic compile time blows up with
-                        # lane width (hang observed at 640); 256 compiles
-                        if d >= 256:
-                            break
-                if ty is None:
-                    return None
-            ty_w = ty if full_row else ty + 2 * hy
+            budget = 700_000
+            row_w = ny_tot if full_row else yc + 2 * hy
             tx = None
             for d in range(1, nx + 1):
                 if nx % d:
@@ -199,7 +198,7 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 # sit in the sublane dim: keep each a multiple of 8
                 if d % 8 != 0 or (d + 2 * hx) % 8 != 0:
                     continue
-                if (d + 2 * hx) * ty_w * itemsize <= budget:
+                if (d + 2 * hx) * row_w * itemsize <= budget:
                     tx = d
             if tx is None:
                 return None  # no legal tiling → caller falls back to jnp
@@ -208,40 +207,44 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
             def kernel(*refs):
                 in_refs = refs[:len(inputs)]
                 out_refs = refs[len(inputs):]
-                blocks = [r[:][:, :, None] for r in in_refs]
-                ysl = slice(None) if full_row else slice(hy, hy + ty)
+                # blocks stay 2D (x, y): re-adding a trailing size-1 z dim
+                # would make it the LANE dim, and Mosaic relayouts every
+                # (x, y, 1) buffer into 128×-padded lane tiles — a measured
+                # 19.7 MB scoped-vmem request for a trivial 73 KB-window
+                # kernel. The stencil core is ndim-agnostic (axes 0/1).
+                blocks = [r[:] for r in in_refs]
                 with _fast_div():
                     outs = fn(*blocks)
                 for o_ref, o in zip(out_refs, outs):
-                    o_ref[:] = o[hx:hx + tx, ysl, 0]
+                    o_ref[:] = o[hx:hx + tx, :]
 
-            if full_row:
-                win = pl.BlockSpec((pl.Element(tx + 2 * hx), pl.Element(ny_tot)),
-                                   lambda i: (i * tx, 0))
-                out_spec = pl.BlockSpec((tx, ny_tot), lambda i: (i, 0))
-                out_shape = jax.ShapeDtypeStruct((nx, ny_tot), inputs[0].dtype)
-                pgrid = (nx // tx,)
-                pad = ((hx, hx), (0, 0))
-            else:
-                # grid order (j, i): x innermost, so the pipeline stages
-                # (tx+2hx)-row strips, not full-x columns (which blew the
-                # 16 MB scoped-vmem limit at 8192²)
-                win = pl.BlockSpec((pl.Element(tx + 2 * hx),
-                                    pl.Element(ty + 2 * hy)),
-                                   lambda j, i: (i * tx, j * ty))
-                out_spec = pl.BlockSpec((tx, ty), lambda j, i: (i, j))
-                out_shape = jax.ShapeDtypeStruct((nx, ny), inputs[0].dtype)
-                pgrid = (ny // ty, nx // tx)
-                pad = ((hx, hx), (hy, hy))
-            outs = pl.pallas_call(
+            win = pl.BlockSpec((pl.Element(tx + 2 * hx), pl.Element(row_w)),
+                               lambda i: (i * tx, 0))
+            out_spec = pl.BlockSpec((tx, row_w), lambda i: (i, 0))
+            out_shape = jax.ShapeDtypeStruct((nx, row_w), inputs[0].dtype)
+            call = pl.pallas_call(
                 kernel,
-                grid=pgrid,
+                grid=(nx // tx,),
                 in_specs=[win] * len(inputs),
                 out_specs=[out_spec] * n_out,
                 out_shape=[out_shape] * n_out,
                 interpret=interpret,
-            )(*ins2)
-            return tuple(jnp.pad(o, pad)[:, :, None] for o in outs)
+                compiler_params=None if interpret else _COMPILER_PARAMS,
+            )
+            if full_row:
+                outs = call(*ins2)
+                return tuple(jnp.pad(o, ((hx, hx), (0, 0)))[:, :, None]
+                             for o in outs)
+            # chunked: same compiled kernel over overlapping y slices
+            pieces = [[] for _ in range(n_out)]
+            for c in range(ny // yc):
+                sub = [a[:, c * yc: c * yc + yc + 2 * hy] for a in ins2]
+                outs = call(*sub)
+                for k, o in enumerate(outs):
+                    pieces[k].append(o[:, hy: hy + yc])
+            return tuple(jnp.pad(jnp.concatenate(ps, axis=1),
+                                 ((hx, hx), (hy, hy)))[:, :, None]
+                         for ps in pieces)
 
         return wrapped2d
 
@@ -273,6 +276,7 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
             out_specs=[out_spec] * n_out,
             out_shape=[out_shape] * n_out,
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(*inputs)
         pad = ((hx, hx), (hy, hy), (0, 0))
         return tuple(jnp.pad(o, pad) for o in outs)
@@ -338,6 +342,7 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(u, v, w, *[tracers[n] for n in names])
 
     pad = ((hx, hx), (hy, hy), (0, 0))
