@@ -36,12 +36,19 @@ def _kappa_plane(kappa, grid, k_index, at_faces):
     return k[:, :, k_index]  # 3D with-halo diffusivity array
 
 
-def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt):
-    """Solve (I − Δt ∂z κ ∂z) out = data along z; returns with-halo array.
+def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
+                                     linear_coeff=None):
+    """Solve (I − Δt(∂z κ ∂z + L)) out = data along z; returns with-halo
+    array.
 
     `data`: with-halo (X, Y, Z) array. `kappa`: scalar, callable(z), 1D
     with-halo column, or 3D with-halo array, evaluated at z-faces for
-    z-centered fields / z-centers for z-face fields.
+    z-centered fields / z-centers for z-face fields. `linear_coeff`: an
+    optional per-cell linear operator coefficient L ≤ 0 (with-halo 3D
+    array at the field's own location) folded into the diagonal — used
+    for CATKE's implicit dissipation Lᵉ = −Cᴰ√e/ℓ (reference
+    vertically_implicit_diffusion_solver.jl + CATKE
+    implicit_linear_coefficient).
     """
     az = grid._axes[2]
     Nz, Hz = az.n, az.h
@@ -65,6 +72,8 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt):
         a = jnp.stack(lower, axis=-1)
         c = jnp.stack(upper, axis=-1)
         b = 1.0 - a - c
+        if linear_coeff is not None:
+            b = b - dt * linear_coeff[:, :, Hz: Hz + Nz]
         rhs = data[:, :, Hz: Hz + Nz]
         sol = solve_batched_tridiagonal(a, b, c, rhs)
         return data.at[:, :, Hz: Hz + Nz].set(sol)
@@ -128,5 +137,8 @@ def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None):
                 kz = _st.ixf(kz)
             if locs[name][1] is not C:
                 kz = _st.iyf(kz)
-        out[name] = implicit_vertical_diffusion_step(data, grid, locs[name], kz, dt)
+        lin = (closure.implicit_linear_coefficient(name, diffusivities)
+               if hasattr(closure, "implicit_linear_coefficient") else None)
+        out[name] = implicit_vertical_diffusion_step(data, grid, locs[name],
+                                                     kz, dt, lin)
     return out

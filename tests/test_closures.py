@@ -158,3 +158,55 @@ def test_gm_redi_flattens_isopycnals():
     # along-isopycnal stirring created vertical structure in c
     assert c.std(axis=2).mean() > 0
     assert np.abs(c).max() < 2.0  # tapering keeps it bounded
+
+
+def test_catke_stability_scale_matches_reference_formula():
+    """sigma(Ri) = sigma_lo + r*(1 + tanh((Ri - Ri_c)/Ri_w)) with the
+    LES-calibrated constants (reference mixing_length.jl:182-210)."""
+    from clima_oceananigans_jl_tpu.closures.vertical_mixing import (
+        CATKEVerticalDiffusivity, MixingLength)
+    cl = CATKEVerticalDiffusivity()
+    ml = cl.mixing_length
+    for ri in (-1.0, 0.0, 1.1, 5.0, 100.0):
+        got = float(cl._stability_scale(jnp.float64(ri), ml.Ck_c_lo, ml.Ck_c_r))
+        want = 0.35 + 0.05 * (1 + np.tanh((ri - 1.1) / 30.0))
+        assert abs(got - want) < 1e-12
+    # defaults match the reference table
+    assert (ml.Cb_u, ml.Cs_u, ml.Ck_e_r) == (1.55, 5.1, 17.0)
+    assert cl.C_diss == 0.81
+
+
+def test_catke_surface_tke_flux_injects_tke():
+    """Qe = -C_D*(Cw_u*ustar^3 + Cw_w*wstar^3) enters the top cell
+    (reference surface_TKE_flux.jl:50-77): a wind-forced calm column
+    gains TKE at the surface."""
+    from clima_oceananigans_jl_tpu.closures.vertical_mixing import (
+        CATKEVerticalDiffusivity)
+    closure = CATKEVerticalDiffusivity(surface_momentum_flux=(-1e-4, 0.0))
+    model = column_model(closure)
+    state = model.initial_state(b=lambda x, y, z: 1e-5 * (z + 100) / 100, e=0.0)
+    step = jax.jit(model.step)
+    for _ in range(5):
+        state = step(state, jnp.float64(60.0))
+    e = np.asarray(model.grid.interior(state["solution"]["e"]))[0, 0]
+    assert np.all(np.isfinite(e))
+    assert e[-1] > 1e-9          # TKE injected at the surface cell
+    assert e[-1] > 10 * abs(e[0])  # and concentrated near the top
+
+
+def test_catke_implicit_dissipation_decays_tke():
+    """With no shear/stratification/surface flux, dissipation
+    -C_D e^{3/2}/l (treated implicitly via Le) decays TKE monotonically
+    without overshooting negative."""
+    from clima_oceananigans_jl_tpu.closures.vertical_mixing import (
+        CATKEVerticalDiffusivity)
+    model = column_model(CATKEVerticalDiffusivity())
+    state = model.initial_state(b=0.0, e=1e-4)
+    e0 = float(np.max(np.asarray(model.grid.interior(state["solution"]["e"]))))
+    step = jax.jit(model.step)
+    for _ in range(10):
+        state = step(state, jnp.float64(600.0))
+    e = np.asarray(model.grid.interior(state["solution"]["e"]))
+    assert np.all(np.isfinite(e))
+    assert float(e.max()) < e0      # decayed
+    assert float(e.min()) >= -1e-12  # implicit treatment never overshoots

@@ -23,7 +23,9 @@ wind_stress = -1e-4  # kinematic, m^2/s^2
 model = HydrostaticFreeSurfaceModel(
     grid=grid, free_surface=ImplicitFreeSurface(solver_method="pcg"),
     momentum_advection=None, tracer_advection=None,
-    buoyancy=BuoyancyTracer(), closure=CATKEVerticalDiffusivity(),
+    buoyancy=BuoyancyTracer(),
+    closure=CATKEVerticalDiffusivity(
+        surface_momentum_flux=(wind_stress, 0.0)),
     boundary_conditions={"u": FieldBCs(top=FluxBC(wind_stress))})
 state = model.initial_state(b=lambda x, y, z: 1e-5 * (z + 100.0) / 100.0, e=1e-7)
 sim = Simulation(model, state=state, dt=60.0, stop_iteration=240)
