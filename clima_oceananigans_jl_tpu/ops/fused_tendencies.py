@@ -109,12 +109,14 @@ def supports_fused_advection(grid):
             and grid.Hy >= 1 and grid.Nz >= 1)
 
 
-def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=520_000):
+def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
     """Pick (TX, TY) dividing (nx, ny) with (TY+2hy) % 8 == 0 (or full),
-    keeping the padded VMEM window under `budget_bytes` (the kernel's
-    scratch stack is ~25-30 windows; VMEM is 16 MB). ty is capped at 16 —
-    wider windows crash the Mosaic compiler at 256³ (remote_compile HTTP
-    500) and (8,16) measured fastest of the configs that compile."""
+    keeping the padded VMEM window under `budget_bytes`. The WENO kernel's
+    register-spill stack holds ~30 window-sized temps at 4 prognostic
+    fields, so the default 3.0 MB budget sits just under the 100 MB
+    scoped-vmem ceiling (`_VMEM_LIMIT`); callers with more fields scale
+    the budget down. At 256³ fp32 this picks (8,128) — measured 482 vs
+    452 M pts/s for the old 16 MB-limit pick (8,16)."""
     def divisors(n):
         return [d for d in range(1, n + 1) if n % d == 0]
 
@@ -125,7 +127,7 @@ def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=520_000):
     best = None
     for ty in divisors(ny):
         ty_w = ty + 2 * hy
-        if (ty_w % 8 != 0 and ty != ny) or ty > 16:
+        if ty_w % 8 != 0 and ty != ny:
             continue
         for tx in divisors(nx):
             tx_w = tx + 2 * hx
@@ -249,8 +251,11 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
         return wrapped2d
 
     def wrapped(*inputs):
+        # temp count scales with the number of fields evaluated in-kernel
+        nf = max(4, len(inputs), n_out)
         tx, ty = _tile_sizes(nx, ny, hx, hy, zt,
-                             itemsize=inputs[0].dtype.itemsize)
+                             itemsize=inputs[0].dtype.itemsize,
+                             budget_bytes=int(12_000_000 / nf))
 
         def kernel(*refs):
             in_refs = refs[:len(inputs)]
@@ -310,9 +315,10 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
                          float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
                          float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
                          reduced_masks=rmasks or None)
-    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=u.dtype.itemsize)
     names = list(tracers)
     n_out = 3 + len(names)
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=u.dtype.itemsize,
+                         budget_bytes=int(12_000_000 / max(4, n_out)))
 
     def kernel(u_ref, v_ref, w_ref, *refs):
         c_refs = refs[:len(names)]
