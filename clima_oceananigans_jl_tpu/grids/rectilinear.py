@@ -298,6 +298,31 @@ class RectilinearGrid:
         new._init_static()
         return new
 
+    def subgrid_along(self, axis, start, n_new):
+        """A sub-grid spanning interior cells [start, start+n_new) of
+        `axis`, with this grid's halo width; coordinate/spacing arrays are
+        SLICED (array index offset = start), so absolute positions —
+        forcing/Coriolis coordinates, metric spacings — stay exact. Used
+        by the halo-overlap edge-strip recompute
+        (models/nonhydrostatic.py ``tendencies_overlapped``); the strip's
+        halo cells must already hold valid data. ``dist`` is cleared on
+        the sliced axis (strips never exchange)."""
+        a = self._axes[axis]
+        new = object.__new__(type(self))
+        new.dtype = self.dtype
+        new.dist = tuple(None if i == axis else d
+                         for i, d in enumerate(self.dist))
+        sl = slice(start, start + n_new + 2 * a.h)
+        # extent must stay STATIC (coords may be traced inside jit); the
+        # proportional value is exact for regular axes and unused by the
+        # stencil tendencies that run on strips
+        sub = _Axis(n_new, a.h, a.topo, a.cf[sl], a.cc[sl], a.dc[sl],
+                    a.df[sl], a.regular, a.extent * n_new / a.n)
+        new._axes = tuple(sub if i == axis else ax
+                          for i, ax in enumerate(self._axes))
+        new._init_static()
+        return new
+
     def __repr__(self):
         t = tuple(t.value for t in self.topology)
         return (f"{type(self).__name__}(size={self.shape}, halo={self.halo}, "

@@ -169,15 +169,11 @@ class NonhydrostaticModel:
         return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
                 for name, arr in sol.items()}
 
-    def update_state(self, state):
-        """Halo fills + auxiliary recomputation (reference
-        update_nonhydrostatic_model_state.jl:14-37)."""
+    def _aux_state(self, state, sol):
+        """Auxiliary recomputation (diffusivities, pHY′) from `sol` —
+        the non-fill half of ``update_state``."""
         t = state["clock"].time
-        sol = self.fill_all_halos(state["solution"], t)
         state = dict(state, solution=sol)
-        if self.immersed_boundary is not None:
-            state = self.immersed_boundary.mask_state(self, state)
-            sol = state["solution"]
         tr = {n: sol[n] for n in self.tracer_names}
         diff = compute_closure_diffusivities(self.closure, self.grid, sol,
                                              self.buoyancy, tr)
@@ -188,6 +184,90 @@ class NonhydrostaticModel:
             ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
             state = dict(state, pHY=ph)
         return state
+
+    def update_state(self, state):
+        """Halo fills + auxiliary recomputation (reference
+        update_nonhydrostatic_model_state.jl:14-37). Under
+        ``halo_overlap`` (set by DistributedModel) the fills and aux are
+        DEFERRED into the next step's ``tendencies_overlapped`` so the
+        exchange collectives overlap the bulk tendency compute."""
+        if getattr(self, "halo_overlap", False):
+            return state
+        t = state["clock"].time
+        sol = self.fill_all_halos(state["solution"], t)
+        state = dict(state, solution=sol)
+        if self.immersed_boundary is not None:
+            state = self.immersed_boundary.mask_state(self, state)
+            sol = state["solution"]
+        return self._aux_state(state, sol)
+
+    def tendencies_overlapped(self, state):
+        """Interior/edge-split tendencies for distributed runs — the
+        TPU analog of the reference's nonblocking-MPI overlap
+        (halo_communication.jl:68-86 Isend/Irecv + interior kernels):
+
+        1. issue the halo-exchange ppermutes (``fill_all_halos``),
+        2. compute the FULL tendency field from the STALE-halo solution —
+           no data dependency on the exchange, so XLA's scheduler runs
+           the collectives concurrently with this bulk compute,
+        3. recompute the H-cell-wide edge strips along each cut axis
+           from the exchanged solution (tiny slab grids via
+           ``grid.subgrid_along`` — coordinates stay absolute) and patch
+           them in.
+
+        The solution entering this function carries stale halos (see
+        ``update_state``); returns ``(G, state_fresh)`` where
+        ``state_fresh`` holds the exchanged solution + recomputed aux.
+        Not supported with immersed boundaries, background fields or
+        particles (asserted at DistributedModel construction)."""
+        import copy as _copy
+        grid = self.grid
+        t = state["clock"].time
+        sol_stale = state["solution"]
+        sol_fresh = self.fill_all_halos(sol_stale, t)
+        state_fresh = self._aux_state(state, sol_fresh)
+        # bulk pass: LOCAL fills (uncut axes — cheap copies, no
+        # collectives) applied synchronously; only the exchanged cut-axis
+        # halos stay stale, so every interior cell further than H from a
+        # cut-axis shard edge is exact and the pass carries no data
+        # dependency on the ppermutes
+        local_axes = tuple(a for a in (0, 1, 2) if grid.dist[a] is None)
+        locs = self._locs()
+        sol_local = {name: fill_halos(arr, grid, locs[name], self.bcs[name],
+                                      t, axes=local_axes)
+                     for name, arr in sol_stale.items()}
+        G = self.tendencies(dict(state_fresh, solution=sol_local))
+
+        def _slc3(x, axis, start, size):
+            if getattr(x, "ndim", 0) == 3:
+                sl = [slice(None)] * 3
+                sl[axis] = slice(start, start + size)
+                return x[tuple(sl)]
+            return x
+
+        for axis in (0, 1):
+            if grid.dist[axis] is None:
+                continue
+            H = grid.halo[axis]
+            N = grid.shape[axis]
+            for start_int in (0, N - H):  # first/last H interior cells
+                gsub = grid.subgrid_along(axis, start_int, H)
+                ms = _copy.copy(self)
+                ms.grid = gsub
+                ms.fused_advection = False  # slabs are tiny; jnp path
+                sub = {k: (jax.tree_util.tree_map(
+                           lambda x: _slc3(x, axis, start_int, 3 * H), v)
+                           if k in ("solution", "diffusivities", "pHY")
+                           else v)
+                       for k, v in state_fresh.items() if k != "particles"}
+                Gs = ms.tendencies(sub)
+                sl = [slice(None)] * 3
+                sl[axis] = slice(start_int + H, start_int + 2 * H)
+                ssl = [slice(None)] * 3
+                ssl[axis] = slice(H, 2 * H)
+                G = {name: G[name].at[tuple(sl)].set(Gs[name][tuple(ssl)])
+                     for name in G}
+        return G, state_fresh
 
     # -- tendencies -------------------------------------------------------------
     def tendencies(self, state):
@@ -436,7 +516,10 @@ class NonhydrostaticModel:
     def _ab2_step(self, state, dt):
         clock0 = state["clock"]
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
-        G = self.tendencies(state)
+        if getattr(self, "halo_overlap", False):
+            G, state = self.tendencies_overlapped(state)
+        else:
+            G = self.tendencies(state)
         sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                           self.ab2_chi, euler)
         sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure,
@@ -452,7 +535,10 @@ class NonhydrostaticModel:
         clock0 = state["clock"]
         G_prev = None
         for gamma, zeta in zip(RK3_GAMMA, RK3_ZETA):
-            G = self.tendencies(state)
+            if getattr(self, "halo_overlap", False):
+                G, state = self.tendencies_overlapped(state)
+            else:
+                G = self.tendencies(state)
             sol = rk3_substep(state["solution"], G, G_prev, dt, gamma, zeta)
             stage_dt = (gamma + zeta) * dt
             sol = implicit_step_fields(sol, self.grid, self._locs(),

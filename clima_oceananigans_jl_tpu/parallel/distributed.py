@@ -36,9 +36,19 @@ def make_mesh(mesh_shape, devices=None):
 
 
 class DistributedModel:
-    """Wraps a model built on a global grid; steps run shard_mapped."""
+    """Wraps a model built on a global grid; steps run shard_mapped.
 
-    def __init__(self, model, mesh):
+    ``overlap_halo=True`` enables the interior/edge-split step
+    (models/nonhydrostatic.py ``tendencies_overlapped``): halo-exchange
+    ppermutes are issued with no data dependency on the bulk tendency
+    compute, so XLA schedules the collectives concurrently with it —
+    the TPU analog of the reference's nonblocking-MPI interior/boundary
+    kernel split (halo_communication.jl:68-86). Requires a model with
+    that method, no immersed boundary / background fields / particles,
+    and local shards at least 2 halo-widths wide on each cut axis.
+    """
+
+    def __init__(self, model, mesh, overlap_halo=False):
         self.mesh = mesh
         self.mesh_shape = (mesh.shape["x"], mesh.shape["y"])
         self.global_model = model
@@ -47,6 +57,22 @@ class DistributedModel:
          self.local_grid) = partition_grid(model.grid, self.mesh_shape)
         self.local_model = copy.copy(model)
         self.local_model.grid = self.local_grid
+        if overlap_halo:
+            if not hasattr(model, "tendencies_overlapped"):
+                raise ValueError("overlap_halo: model has no "
+                                 "tendencies_overlapped")
+            if (getattr(model, "immersed_boundary", None) is not None
+                    or getattr(model, "background_fields", None)
+                    or getattr(model, "particles", None) is not None):
+                raise ValueError("overlap_halo is not supported with "
+                                 "immersed boundaries, background fields "
+                                 "or particles")
+            for axis, nsh in zip((0, 1), self.mesh_shape):
+                if nsh > 1 and (self.local_grid.shape[axis]
+                                < 2 * self.local_grid.halo[axis]):
+                    raise ValueError("overlap_halo: local shard thinner "
+                                     "than 2 halo widths on a cut axis")
+            self.local_model.halo_overlap = True
         if getattr(model, "pressure_solver", None) is not None:
             # swap the serial FFT solver for the all_to_all pencil solver
             from .distributed_fft import select_distributed_pressure_solver

@@ -49,6 +49,11 @@ def _fwd_1d(b, axis, topo):
     if topo is PERIODIC:
         return jnp.fft.fft(b, axis=axis)
     if topo is BOUNDED:
+        # jax.scipy.fft.dct silently mangles complex input (it is built on
+        # rfft); split into real/imag like _inv_1d does
+        if jnp.iscomplexobj(b):
+            return (jfft.dct(jnp.real(b), type=2, axis=axis, norm="ortho")
+                    + 1j * jfft.dct(jnp.imag(b), type=2, axis=axis, norm="ortho"))
         return jfft.dct(b, type=2, axis=axis, norm="ortho")
     return b
 
