@@ -91,7 +91,11 @@ class ExplicitFreeSurface:
 @dataclasses.dataclass(frozen=True)
 class ImplicitFreeSurface:
     """solver_method: 'fft' (regular horizontal spacing, constant depth),
-    'pcg' (general, incl. lat-lon), or 'auto'."""
+    'pcg' (general, incl. lat-lon), 'matrix' (Jacobi-preconditioned CG on
+    the assembled heptadiagonal coefficients — the reference's
+    MatrixImplicitFreeSurfaceSolver / HeptadiagonalIterativeSolver pair),
+    'multigrid' (geometric-multigrid-preconditioned CG, the reference's
+    MGImplicitFreeSurfaceSolver), or 'auto'."""
 
     gravitational_acceleration: float = 9.80665
     solver_method: str = "auto"
@@ -152,6 +156,9 @@ class ImplicitFreeSurface:
             eta = jnp.zeros_like(eta0).at[sl[0], sl[1], :].set(phi.astype(grid.dtype))
             return fill2d(eta, grid, ETA_LOC, eta_bcs)
 
+        if method in ("matrix", "multigrid"):
+            return self._solve_stencil(grid, eta_bcs, rhs, eta0, dt, method)
+
         # matrix-free CG on the negated, Az-symmetrized operator: multiplying
         # the equation by the cell area Az makes the FV 5-point stencil
         # symmetric in the plain l2 inner product CG assumes (on curvilinear
@@ -174,6 +181,54 @@ class ImplicitFreeSurface:
                                  reltol=self.tolerance, maxiter=self.maxiter,
                                  axis_names=axis_names)
         eta = jnp.zeros_like(eta0).at[interior].set(x)
+        return fill2d(eta, grid, ETA_LOC, eta_bcs)
+
+    def _fs_stencil(self, grid, Hfc, Hcf):
+        """Assembled heptadiagonal couplings of the Az-symmetrized implicit
+        free-surface operator (reference
+        matrix_implicit_free_surface_solver.jl compute_matrix_coefficients:
+        Ax = Δy Hᶠᶜ/Δx at x-faces, Ay = Δx Hᶜᶠ/Δy at y-faces). Returns
+        (StencilMatrix sans diagonal shift, interior Az)."""
+        from ..solvers.stencil_matrix import StencilMatrix
+        ii = (slice(grid.Hx, grid.Hx + grid.Nx),
+              slice(grid.Hy, grid.Hy + grid.Ny), slice(None))
+        shp2 = grid.total_shape[:2] + (1,)
+        L = [None, None, None]
+        if grid.topology[0] is not FLAT:
+            lx = jnp.broadcast_to(grid.dy(U_LOC) * Hfc / grid.dx(U_LOC), shp2)[ii]
+            if grid.topology[0] is BOUNDED:
+                lx = lx.at[0, :, :].set(0.0)
+            L[0] = lx
+        if grid.topology[1] is not FLAT:
+            ly = jnp.broadcast_to(grid.dx(V_LOC) * Hcf / grid.dy(V_LOC), shp2)[ii]
+            if grid.topology[1] is BOUNDED:
+                ly = ly.at[:, 0, :].set(0.0)
+            L[1] = ly
+        Az_int = jnp.broadcast_to(grid.Az(CENTER), shp2)[ii]
+        return StencilMatrix(tuple(L), None), Az_int
+
+    def _solve_stencil(self, grid, eta_bcs, rhs, eta0, dt, method):
+        """'matrix' / 'multigrid' solves on the assembled coefficients."""
+        from ..solvers.stencil_matrix import (HeptadiagonalIterativeSolver,
+                                              MultigridSolver, StencilMatrix)
+        g = self.gravitational_acceleration
+        Hfc, Hcf = column_depths(grid)
+        A, Az_int = self._fs_stencil(grid, Hfc, Hcf)
+        interior = (slice(grid.Hx, grid.Hx + grid.Nx),
+                    slice(grid.Hy, grid.Hy + grid.Ny), slice(None))
+        b = (Az_int * rhs[interior]).astype(grid.dtype)
+        if method == "matrix":
+            solver = HeptadiagonalIterativeSolver(A, 0.0, -Az_int / g,
+                                                  tolerance=self.tolerance,
+                                                  maxiter=self.maxiter)
+            x = solver.solve(b, dt=dt, x0=eta0[interior])
+        else:
+            full = StencilMatrix(A.L, -Az_int / (g * dt * dt))
+            solver = MultigridSolver(full, (grid.Nx, grid.Ny, 1),
+                                     tolerance=self.tolerance,
+                                     maxiter=self.maxiter)
+            x = solver.solve(b, x0=eta0[interior])
+        eta = jnp.zeros_like(eta0).at[interior].set(x.astype(grid.dtype))
         return fill2d(eta, grid, ETA_LOC, eta_bcs)
 
 

@@ -40,13 +40,15 @@ from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 
 def select_pressure_solver(grid):
     """Regular grid → FFT; stretched-z (regular x,y) → Fourier-tridiagonal
-    (reference NonhydrostaticModels.jl:18-27)."""
+    (reference NonhydrostaticModels.jl:18-27); stretched x or y →
+    multigrid-preconditioned CG (the eigen-solvers don't apply; the
+    reference points such grids at its iterative solvers)."""
     if grid.all_regular:
         return FFTPoissonSolver.build(grid)
     if grid.hregular:
         return FourierTridiagonalSolver.build(grid)
-    raise ValueError("grids stretched in x or y need an iterative solver "
-                     "(not yet wired into NonhydrostaticModel)")
+    from ..solvers.stencil_matrix import MultigridPoissonSolver
+    return MultigridPoissonSolver.build(grid, tolerance=1e-9, maxiter=200)
 
 
 @jax.tree_util.register_pytree_node_class
