@@ -138,6 +138,39 @@ class BinaryOperation(Operand):
 
 
 @dataclasses.dataclass
+class MultiaryOperation(Operand):
+    """fn(*args) with every argument auto-interpolated to a common
+    location (reference AbstractOperations multiary_operations.jl,
+    e.g. `+(a, b, c...)` at a target location)."""
+
+    fn: Callable
+    args: tuple
+    target_loc: Optional[tuple] = None
+
+    def __post_init__(self):
+        self.args = tuple(_wrap(a) for a in self.args)
+
+    @property
+    def loc(self):
+        if self.target_loc is not None:
+            return self.target_loc
+        for a in self.args:
+            if not isinstance(a, ConstantOperand):
+                return a.loc
+        return CENTER
+
+    def evaluate(self, grid):
+        loc = self.loc
+        vals = []
+        for a in self.args:
+            v = a.evaluate(grid)
+            if not isinstance(a, ConstantOperand) and a.loc != loc:
+                v = interp_to(v, a.loc, loc)
+            vals.append(v)
+        return self.fn(*vals)
+
+
+@dataclasses.dataclass
 class Derivative(Operand):
     a: Any
     axis: int

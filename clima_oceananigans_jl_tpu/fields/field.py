@@ -84,6 +84,42 @@ class Field:
         return UnaryOperation(jnp.negative, self)
 
 
+def regularize_indices(grid, indices):
+    """Normalize per-axis window specs (reference Fields/index slicing:
+    field.jl `indices` views). Each entry: None/`slice(None)` (full axis),
+    an int (single interior index), or a (start, stop) half-open interior
+    range. Returns a tuple of `slice`s into the INTERIOR."""
+    out = []
+    indices = (None, None, None) if indices is None else indices
+    for a, ix in enumerate(indices):
+        n = grid.shape[a]
+        if ix is None or ix == slice(None):
+            out.append(slice(0, n))
+        elif isinstance(ix, int):
+            ix = ix % n
+            out.append(slice(ix, ix + 1))
+        else:
+            start, stop = (ix.start or 0, ix.stop if ix.stop is not None
+                           else n) if isinstance(ix, slice) else ix
+            out.append(slice(max(0, start), min(n, stop)))
+    return tuple(out)
+
+
+def windowed(field: Field, grid, indices):
+    """A windowed view of a field: the reference's
+    ``Field(...; indices=(ix, iy, iz))`` (src/Fields/field.jl windowed
+    fields). Returns a Field whose data is the interior WINDOW (no
+    halos — windowed fields are diagnostic views, the reference also
+    refuses to fill their halos) with the window recorded in ``.loc``'s
+    companion attribute ``indices`` on the returned object."""
+    sl_int = regularize_indices(grid, indices)
+    sl = tuple(slice(h + s.start, h + s.stop)
+               for h, s in zip(grid.halo, sl_int))
+    out = Field(field.data[sl], field.loc, None)
+    out.indices = sl_int
+    return out
+
+
 def new_field(grid, loc=CENTER, bcs=None, fill=0.0):
     bcs = regularize_bcs(grid, loc, bcs)
     return Field(jnp.full(grid.total_shape, fill, grid.dtype), loc, bcs)
@@ -106,7 +142,23 @@ def ZFaceField(grid, bcs=None):
 
 
 def set_field(field: Field, grid, value, t=0.0) -> Field:
-    """Functional ``set!``: returns a new Field with halos filled."""
+    """Functional ``set!``: returns a new Field with halos filled.
+    Accepts a scalar, interior/with-halo array, callable f(x,y,z),
+    another Field, or a lazy AbstractOperation — the last two are the
+    reference's broadcasting-onto-fields machinery (``u .= op``,
+    src/Fields/broadcasting_abstract_operations.jl): the source is
+    materialized and interpolated to this field's location."""
+    from ..abstract_operations import Operand, compute
+    from ..ops.operators import interp_to
+    if isinstance(value, FunctionField):
+        value = value.at_time(grid, t)
+    if isinstance(value, Operand) and not isinstance(value, Field):
+        value = compute(value, grid, t=t)
+    if isinstance(value, Field):
+        data = value.data
+        if value.loc != field.loc:
+            data = interp_to(data, value.loc, field.loc)
+        return field.with_data(data).filled(grid, t)
     data = field.data
     if callable(value):
         x, y, z = grid.nodes(field.loc, with_halo=True)

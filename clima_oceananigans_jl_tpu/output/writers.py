@@ -25,8 +25,10 @@ import numpy as np
 from ..utils.schedules import IterationInterval, Schedule, TimeInterval
 
 
-def _fetch(sim, name, spec):
-    """Resolve one output spec to a numpy interior array."""
+def _fetch(sim, name, spec, indices=None):
+    """Resolve one output spec to a numpy interior array (optionally a
+    window of it — the reference writers' ``indices`` kwarg,
+    jld2_output_writer.jl / netcdf_output_writer.jl slicing)."""
     if isinstance(spec, WindowedTimeAverage):
         return np.asarray(spec.result())
     if callable(spec):
@@ -36,20 +38,26 @@ def _fetch(sim, name, spec):
         field = fields[name if spec is None else spec]
         grid = sim.model.grid
         data = field.data
-        sl = []
-        for a in range(3):
-            h, n = grid.halo[a], grid.shape[a]
-            sl.append(slice(h, h + n) if data.shape[a] > 1 else slice(None))
-        out = data[tuple(sl)]
+        if indices is not None:
+            from ..fields.field import regularize_indices
+            win = regularize_indices(grid, indices)
+            sl = tuple(slice(h + s.start, h + s.stop) if data.shape[a] > 1
+                       else slice(None)
+                       for a, (h, s) in enumerate(zip(grid.halo, win)))
+        else:
+            sl = tuple(slice(h, h + n) if data.shape[a] > 1 else slice(None)
+                       for a, (h, n) in enumerate(zip(grid.halo, grid.shape)))
+        out = data[sl]
     return np.asarray(out)
 
 
 class AbstractOutputWriter:
-    def __init__(self, outputs, schedule=None, verbose=False):
+    def __init__(self, outputs, schedule=None, verbose=False, indices=None):
         self.outputs = {k: (None if isinstance(v, str) and v == k else v)
                         for k, v in outputs.items()}
         self.schedule = schedule or IterationInterval(1)
         self.verbose = verbose
+        self.indices = indices
 
     def __call__(self, sim):
         self.write(sim)
@@ -62,8 +70,8 @@ class HDF5OutputWriter(AbstractOutputWriter):
     """`file[f"timeseries/{name}/{i}"]` layout mirroring JLD2OutputWriter."""
 
     def __init__(self, outputs, filepath, schedule=None, overwrite=True,
-                 verbose=False):
-        super().__init__(outputs, schedule, verbose)
+                 verbose=False, indices=None):
+        super().__init__(outputs, schedule, verbose, indices)
         self.filepath = filepath
         self._count = 0
         if overwrite and os.path.exists(filepath):
@@ -77,7 +85,8 @@ class HDF5OutputWriter(AbstractOutputWriter):
             f[f"timeseries/t/{i}"] = sim.model_time()
             f[f"timeseries/iteration/{i}"] = sim.model_iteration()
             for name, spec in self.outputs.items():
-                f[f"timeseries/{name}/{i}"] = _fetch(sim, name, spec)
+                f[f"timeseries/{name}/{i}"] = _fetch(sim, name, spec,
+                                                     self.indices)
         self._count += 1
 
 
@@ -85,8 +94,8 @@ class NetCDFOutputWriter(AbstractOutputWriter):
     """NetCDF3 (classic) writer with an unlimited time dimension."""
 
     def __init__(self, outputs, filepath, schedule=None, overwrite=True,
-                 verbose=False):
-        super().__init__(outputs, schedule, verbose)
+                 verbose=False, indices=None):
+        super().__init__(outputs, schedule, verbose, indices)
         self.filepath = filepath
         self._initialized = False
         if overwrite and os.path.exists(filepath):
@@ -117,7 +126,7 @@ class NetCDFOutputWriter(AbstractOutputWriter):
         self._initialized = True
 
     def write(self, sim):
-        sample = {name: _fetch(sim, name, spec)
+        sample = {name: _fetch(sim, name, spec, self.indices)
                   for name, spec in self.outputs.items()}
         if not self._initialized:
             self._init_file(sim, sample)

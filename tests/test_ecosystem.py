@@ -244,3 +244,76 @@ def test_particles_in_shallow_water_step():
     state = model.initial_state(uh=0.2, h=1.0)
     state = jax.jit(model.step)(state, 0.01)
     assert float(state["particles"].x[0]) > 0.5
+
+
+def test_multiary_operation():
+    """Multiary ops interpolate every argument to a common location
+    (reference AbstractOperations/multiary_operations.jl)."""
+    from clima_oceananigans_jl_tpu.abstract_operations import (
+        MultiaryOperation, compute)
+    from clima_oceananigans_jl_tpu.fields.field import (CenterField,
+                                                        XFaceField, set_field)
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    a = set_field(CenterField(grid), grid, lambda x, y, z: x + 0 * y)
+    b = set_field(XFaceField(grid), grid, lambda x, y, z: 2 * x + 0 * y)
+    c = set_field(CenterField(grid), grid, 1.0)
+    s = compute(MultiaryOperation(lambda *vs: sum(vs), (a, b, c)), grid)
+    assert s.loc == a.loc
+    # interior away from the periodic seam: x + 2x + 1 (b interpolated C←F)
+    xs = np.asarray(grid.coord(0, a.loc[0]))
+    got = np.asarray(grid.interior(s.data))[2:-2, 0, 0]
+    assert np.allclose(got, 3 * xs[2:-2] + 1, atol=1e-12)
+
+
+def test_windowed_field_view_and_writer_indices(tmp_path):
+    """Windowed `indices` views (reference src/Fields/field.jl windowed
+    fields) + writer-level slicing."""
+    from clima_oceananigans_jl_tpu.fields.field import (CenterField,
+                                                        set_field, windowed)
+    grid = RectilinearGrid(size=(8, 6, 4), extent=(1, 1, 1),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    f = set_field(CenterField(grid), grid, lambda x, y, z: x + 10 * y + 100 * z)
+    w = windowed(f, grid, ((2, 5), None, 3))
+    assert w.data.shape == (3, 6, 1)
+    full = np.asarray(grid.interior(f.data))
+    assert np.allclose(np.asarray(w.data), full[2:5, :, 3:4])
+
+    # writer indices: surface slice only
+    from clima_oceananigans_jl_tpu.models.shallow_water import ShallowWaterModel
+    from clima_oceananigans_jl_tpu.output.writers import HDF5OutputWriter
+    from clima_oceananigans_jl_tpu.simulation.simulation import Simulation
+    g2 = RectilinearGrid(size=(8, 8, 1), extent=(1, 1, 1),
+                         topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    model = ShallowWaterModel(grid=g2, gravitational_acceleration=1.0)
+    state = model.initial_state(h=1.0)
+    sim = Simulation(model, state, dt=1e-3, stop_iteration=2)
+    path = str(tmp_path / "win.h5")
+    sim.output_writers["w"] = HDF5OutputWriter(
+        {"h": None}, path, indices=((0, 4), (2, 6), None))
+    sim.run()
+    import h5py
+    with h5py.File(path, "r") as fh:
+        arr = fh["timeseries/h/0"][()]
+    assert arr.shape[:2] == (4, 4)
+
+
+def test_set_field_from_field_and_operation():
+    """Broadcasting-onto-fields: set! from another Field (location
+    interpolated) and from a lazy operation
+    (src/Fields/broadcasting_abstract_operations.jl)."""
+    from clima_oceananigans_jl_tpu.fields.field import (CenterField,
+                                                        XFaceField, set_field)
+    grid = RectilinearGrid(size=(8, 8, 4), extent=(1, 1, 1),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    u = set_field(XFaceField(grid), grid, lambda x, y, z: jnp.sin(2 * np.pi * x))
+    c = set_field(CenterField(grid), grid, 2.0 * u)      # lazy op → center
+    cf = set_field(CenterField(grid), grid, u)           # field → interp
+    ui = np.asarray(grid.interior(u.data))
+    # C←F interpolation: mean of adjacent faces
+    u_at_c = 0.5 * (ui + np.roll(ui, -1, 0))
+    assert np.allclose(np.asarray(grid.interior(cf.data)), u_at_c, atol=1e-12)
+    assert np.allclose(np.asarray(grid.interior(c.data)), 2 * u_at_c, atol=1e-12)
