@@ -433,7 +433,15 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
         L = _select_reduced(masks[1], axis, L, lo)
         R = _select_reduced(masks[2], axis, R, lo)
     if clear is not None:
-        lo = if_(c, axis) if to_f else ic(c, axis)
-        L = jnp.where(clear, L, lo)
-        R = jnp.where(clear, R, lo)
+        # near the immersed boundary drop to FIRST-ORDER UPWIND, not the
+        # centered mean: collapsing L=R onto the centered value removes
+        # all upwind dissipation in a (buffer+1)-cell band along the
+        # boundary and lets dispersive wiggles grow without bound there
+        # (the centered fallback of reference v0.76 conditional_fluxes.jl
+        # shows the same; later Oceananigans upwinds near the boundary —
+        # we follow the monotone variant)
+        L1 = shift(c, -1, axis) if to_f else c
+        R1 = c if to_f else shift(c, 1, axis)
+        L = jnp.where(clear, L, L1)
+        R = jnp.where(clear, R, R1)
     return upwind_biased_product(vel, L, R)

@@ -37,9 +37,13 @@ class CubedSphereHydrostaticModel:
     def __init__(self, grid, momentum_advection=None, tracer_advection=None,
                  coriolis_rotation_rate=7.292115e-5, buoyancy=None,
                  gravitational_acceleration=9.80665, closure=None,
-                 tracers=(), depth=None):
+                 tracers=(), depth=None, prescribed_velocities=False):
         """``depth``: barotropic layer depth for flat-z (Nz=1) grids
-        (defaults to the z-axis extent)."""
+        (defaults to the z-axis extent). ``prescribed_velocities``: hold
+        u, v, η fixed and step only the tracers — the reference's
+        PrescribedVelocityFields on the cubed sphere
+        (validation/cubed_sphere_tracer_advection)."""
+        self.prescribed_velocities = bool(prescribed_velocities)
         self.grid = grid
         self.depth = float(depth) if depth is not None else None
         self.momentum_advection = (momentum_advection
@@ -70,14 +74,16 @@ class CubedSphereHydrostaticModel:
     def tree_flatten(self):
         return ((self.f_ff, self.buoyancy, self.closure),
                 (self.grid, self.momentum_advection, self.tracer_advection,
-                 self.g, self.tracer_names, self.depth))
+                 self.g, self.tracer_names, self.depth,
+                 self.prescribed_velocities))
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
         obj = object.__new__(cls)
         obj.f_ff, obj.buoyancy, obj.closure = leaves
         (obj.grid, obj.momentum_advection, obj.tracer_advection,
-         obj.g, obj.tracer_names, obj.depth) = static
+         obj.g, obj.tracer_names, obj.depth,
+         obj.prescribed_velocities) = static
         return obj
 
     # -- state -----------------------------------------------------------------
@@ -208,16 +214,18 @@ class CubedSphereHydrostaticModel:
             sol = dict(state["solution"])
             eta = state["eta"]
             if prev is None:
-                sol["u"] = sol["u"] + dt * gamma * Gu
-                sol["v"] = sol["v"] + dt * gamma * Gv
-                eta = eta + dt * gamma * Geta
+                if not self.prescribed_velocities:
+                    sol["u"] = sol["u"] + dt * gamma * Gu
+                    sol["v"] = sol["v"] + dt * gamma * Gv
+                    eta = eta + dt * gamma * Geta
                 for n in self.tracer_names:
                     sol[n] = sol[n] + dt * gamma * Gc[n]
             else:
                 pu, pv, pe, pc = prev
-                sol["u"] = sol["u"] + dt * (gamma * Gu + zeta * pu)
-                sol["v"] = sol["v"] + dt * (gamma * Gv + zeta * pv)
-                eta = eta + dt * (gamma * Geta + zeta * pe)
+                if not self.prescribed_velocities:
+                    sol["u"] = sol["u"] + dt * (gamma * Gu + zeta * pu)
+                    sol["v"] = sol["v"] + dt * (gamma * Gv + zeta * pv)
+                    eta = eta + dt * (gamma * Geta + zeta * pe)
                 for n in self.tracer_names:
                     sol[n] = sol[n] + dt * (gamma * Gc[n] + zeta * pc[n])
             prev = (Gu, Gv, Geta, Gc)
