@@ -120,3 +120,80 @@ def test_rotation_inertial_oscillation():
     v = float(np.mean(np.asarray(g.interior(state["solution"]["v"]))))
     assert np.isclose(u, np.cos(f * t), atol=2e-3)
     assert np.isclose(v, -np.sin(f * t), atol=2e-3)
+
+
+def test_internal_wave_dispersion_relation():
+    """Measured internal-wave frequency matches ω² = N²k²/(k²+m²)
+    (reference test_dynamics.jl internal-wave solution comparison — an
+    independent analytic target, not a framework-generated golden)."""
+    n = 32
+    N2 = 1.0
+    kx, mz = 1.0, 2.0  # wavenumbers on x ∈ [0, 2π], z ∈ [-π, 0]
+    g = RectilinearGrid(size=(n, 1, n), x=(0, 2 * np.pi), y=(0, 1),
+                        z=(-np.pi, 0.0),
+                        topology=(PERIODIC, FLAT, BOUNDED), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, buoyancy=BuoyancyTracer(),
+                                tracers=("b",), advection=None,
+                                timestepper="RungeKutta3")
+    g = model.grid
+    a = 1e-9
+    # w eigenmode: w = a sin(kx x) sin(mz z) (zero at both walls)
+    state = model.initial_state(
+        b=lambda x, y, z: N2 * z,
+        w=lambda x, y, z: a * jnp.sin(kx * x) * jnp.sin(mz * z))
+    omega = np.sqrt(N2 * kx**2 / (kx**2 + mz**2))
+    period = 2 * np.pi / omega
+    dt = period / 400
+    step = jax.jit(model.step)
+    amps = []
+    for i in range(400):
+        state = step(state, jnp.float64(dt))
+        w = np.asarray(g.interior(state["solution"]["w"]))[:, 0, :]
+        # project onto the eigenmode
+        xs = np.asarray(g.coord(0, "c"))
+        zs = np.asarray(g.coord(2, "f"))[: w.shape[1]]
+        mode = np.sin(kx * xs)[:, None] * np.sin(mz * zs)[None, :]
+        amps.append((w * mode).sum() / (mode * mode).sum())
+    amps = np.array(amps) / a
+    # count zero crossings over one analytic period: expect 2
+    crossings = np.where(np.diff(np.sign(amps)) != 0)[0]
+    assert len(crossings) >= 2, amps[:20]
+    # measured half-period from the first two crossings
+    half = (crossings[1] - crossings[0]) * dt
+    omega_meas = np.pi / half
+    assert abs(omega_meas - omega) / omega < 0.05, (omega_meas, omega)
+
+
+def test_hydrostatic_geostrophic_balance_is_steady():
+    """An exactly balanced jet (f v = g ∂x η) on the f-plane stays put —
+    the geostrophic-adjustment end state (reference
+    test_hydrostatic_free_surface_models.jl geostrophic checks)."""
+    from clima_oceananigans_jl_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel)
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        ImplicitFreeSurface)
+    L, H, f0, g0 = 1e6, 1000.0, 1e-4, 9.80665
+    n = 32
+    grid = RectilinearGrid(size=(n, n, 4), x=(0, L), y=(0, L), z=(-H, 0),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    k = 2 * np.pi / L
+    eta0 = 0.1
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, coriolis=FPlane(f=f0),
+        free_surface=ImplicitFreeSurface(solver_method="fft"),
+        momentum_advection=None)
+    state = model.initial_state(
+        eta=lambda x, y: eta0 * jnp.sin(k * x),
+        v=lambda x, y, z: (g0 / f0) * eta0 * k * jnp.cos(k * x))
+    gi = model.grid
+    v_init = np.asarray(gi.interior(state["solution"]["v"]))
+    dt = jnp.float64(600.0)  # ~17 inertial periods total
+    step = jax.jit(model.step)
+    for _ in range(100):
+        state = step(state, dt)
+    v_fin = np.asarray(gi.interior(state["solution"]["v"]))
+    u_fin = np.asarray(gi.interior(state["solution"]["u"]))
+    drift = np.abs(v_fin - v_init).max() / np.abs(v_init).max()
+    assert drift < 0.05, drift
+    assert np.abs(u_fin).max() < 0.05 * np.abs(v_init).max()
