@@ -177,6 +177,55 @@ class WENO5(AdvectionScheme):
         b2 = (13.0 / 12.0) * (v0 - 2 * vm1 + vm2) ** 2 + 0.25 * (3 * v0 - 4 * vm1 + vm2) ** 2
         return self._combine(p0, p1, p2, b0, b1, b2)
 
+    def lr_to_f_smooth(self, c, smooths, axis):
+        """Left/right reconstructions of ``c`` at faces whose nonlinear
+        weights use the MEAN Jiang-Shu smoothness of the ``smooths``
+        fields instead of ``c``'s own — the reference's VelocityStencil
+        (weno_fifth_order.jl:405-440: βₖ = ½(βₖ(ℑy u) + βₖ(ℑx v)) while
+        the candidate polynomials reconstruct the vorticity)."""
+        s = lambda a, n: shift(a, n, axis)
+
+        def betas(v, left):
+            if left:
+                vm3, vm2, vm1, v0, vp1 = s(v, -3), s(v, -2), s(v, -1), v, s(v, 1)
+            else:
+                vm3, vm2, vm1, v0, vp1 = s(v, 2), s(v, 1), v, s(v, -1), s(v, -2)
+            b0 = ((13.0 / 12.0) * (vm3 - 2 * vm2 + vm1) ** 2
+                  + 0.25 * (vm3 - 4 * vm2 + 3 * vm1) ** 2)
+            b1 = ((13.0 / 12.0) * (vm2 - 2 * vm1 + v0) ** 2
+                  + 0.25 * (vm2 - v0) ** 2)
+            b2 = ((13.0 / 12.0) * (vm1 - 2 * v0 + vp1) ** 2
+                  + 0.25 * (3 * vm1 - 4 * v0 + vp1) ** 2)
+            return b0, b1, b2
+
+        def cands(v, left):
+            # the right-biased formulas are the left ones under the index
+            # reflection (−3,−2,−1,0,1) → (2,1,0,−1,−2), same as betas
+            if left:
+                vm3, vm2, vm1, v0, vp1 = s(v, -3), s(v, -2), s(v, -1), v, s(v, 1)
+            else:
+                vm3, vm2, vm1, v0, vp1 = s(v, 2), s(v, 1), v, s(v, -1), s(v, -2)
+            p0 = (2.0 * vm3 - 7.0 * vm2 + 11.0 * vm1) / 6.0
+            p1 = (-vm2 + 5.0 * vm1 + 2.0 * v0) / 6.0
+            p2 = (2.0 * vm1 + 5.0 * v0 - vp1) / 6.0
+            return p0, p1, p2
+
+        out = []
+        for left in (True, False):
+            bs = [betas(f, left) for f in smooths]
+            b0 = sum(b[0] for b in bs) / len(bs)
+            b1 = sum(b[1] for b in bs) / len(bs)
+            b2 = sum(b[2] for b in bs) / len(bs)
+            p0, p1, p2 = cands(c, left)
+            out.append(self._combine(p0, p1, p2, b0, b1, b2))
+        return out[0], out[1]
+
+    def lr_to_c_smooth(self, c, smooths, axis):
+        """Face-located data reconstructed onto centers (shift-by-one of
+        the to-faces formulas, like left_right_to_c)."""
+        L, R = self.lr_to_f_smooth(c, smooths, axis)
+        return shift(L, 1, axis), shift(R, 1, axis)
+
     def _combine(self, p0, p1, p2, b0, b1, b2, d=(0.1, 0.6, 0.3)):
         # single-division form: αk = dk/(βk+ε)² → multiply through by
         # Π(βj+ε)² so the weights become polynomials (divisions are

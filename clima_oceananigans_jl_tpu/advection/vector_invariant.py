@@ -22,16 +22,20 @@ from ..utils.location import C, F, U_LOC, V_LOC, CENTER
 
 @dataclasses.dataclass(frozen=True)
 class VectorInvariant:
-    """scheme: 'enstrophy' (default), 'energy' conserving, or 'weno'
+    """scheme: 'enstrophy' (default), 'energy' conserving, 'weno'
     (upwinded WENO reconstruction of the vorticity along the transport
-    direction — the reference's WENOVectorInvariant,
-    vector_invariant_advection.jl `vertical_vorticity_U/V` WENO methods)."""
+    direction with the vorticity's own smoothness — the reference's
+    WENOVectorInvariant + VorticityStencil), or 'weno_velocity' (same
+    candidates, but the nonlinear weights use the mean smoothness of the
+    tangential velocities ℑy u and ℑx v — the reference's
+    VelocityStencil, its WENOVectorInvariant default,
+    weno_fifth_order.jl:405-440)."""
 
     scheme: str = "enstrophy"
 
     @property
     def required_halo(self):
-        return 3 if self.scheme == "weno" else 2
+        return 3 if self.scheme in ("weno", "weno_velocity") else 2
 
     def _weno(self):
         from .schemes import WENO5
@@ -43,12 +47,16 @@ class VectorInvariant:
         dx_v = grid.dx((C, F, C)) * v
         if self.scheme == "energy":
             vort = -st.iyc(zeta * st.ixf(dx_v)) / grid.dx(U_LOC)
-        elif self.scheme == "weno":
+        elif self.scheme in ("weno", "weno_velocity"):
             from .schemes import upwind_biased_product
             wn = self._weno()
             v_hat = st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
-            zl = wn.left_to_c(zeta, 1)    # ζ reconstructed to (F,C) along y
-            zr = wn.right_to_c(zeta, 1)
+            if self.scheme == "weno_velocity":
+                smooths = (st.iyf(u), st.ixf(v))  # tangential vels at (F,F)
+                zl, zr = wn.lr_to_c_smooth(zeta, smooths, 1)
+            else:
+                zl = wn.left_to_c(zeta, 1)  # ζ reconstructed to (F,C) along y
+                zr = wn.right_to_c(zeta, 1)
             vort = -upwind_biased_product(v_hat, zl, zr)
         else:  # enstrophy conserving
             vort = -st.iyc(zeta) * st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
@@ -67,12 +75,16 @@ class VectorInvariant:
         dy_u = grid.dy((F, C, C)) * u
         if self.scheme == "energy":
             vort = st.ixc(zeta * st.iyf(dy_u)) / grid.dy(V_LOC)
-        elif self.scheme == "weno":
+        elif self.scheme in ("weno", "weno_velocity"):
             from .schemes import upwind_biased_product
             wn = self._weno()
             u_hat = st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)
-            zl = wn.left_to_c(zeta, 0)    # ζ reconstructed to (C,F) along x
-            zr = wn.right_to_c(zeta, 0)
+            if self.scheme == "weno_velocity":
+                smooths = (st.iyf(u), st.ixf(v))
+                zl, zr = wn.lr_to_c_smooth(zeta, smooths, 0)
+            else:
+                zl = wn.left_to_c(zeta, 0)  # ζ reconstructed to (C,F) along x
+                zr = wn.right_to_c(zeta, 0)
             vort = upwind_biased_product(u_hat, zl, zr)
         else:
             vort = st.ixc(zeta) * st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)

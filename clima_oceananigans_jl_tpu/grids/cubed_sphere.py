@@ -313,6 +313,65 @@ class CubedSphereGrid:
         self._maps[(C, F)] = self._build_loc_map((C, F))
         self._lonlat(centers)
 
+    # -- grid files --------------------------------------------------------------
+    _KEYS = ((C, C), (C, F), (F, C), (F, F))
+
+    def to_file(self, path):
+        """Persist the grid's metrics + geometry to one .npz — the analog
+        of the reference's grid files (ConformalCubedSphereGrid is loaded
+        from a precomputed file, conformal_cubed_sphere_face_grid.jl /
+        cubed_sphere_32_grid artifact)."""
+        kn = lambda k: "".join("c" if l is C else "f" for l in k)
+        data = {"N": self.N, "H": self.H, "radius": self.radius,
+                "map_kind": self.map_kind,
+                "z_meta": np.array([self._zaxis.n, self._zaxis.h,
+                                    int(self._zaxis.topo is not FLAT),
+                                    int(self._zaxis.regular),
+                                    self._zaxis.extent], np.float64),
+                "z_cf": np.asarray(self._zaxis.cf),
+                "z_cc": np.asarray(self._zaxis.cc),
+                "z_dc": np.asarray(self._zaxis.dc),
+                "z_df": np.asarray(self._zaxis.df),
+                "centers3d": self._centers3d}
+        for name, d in (("dx", self._dx), ("dy", self._dy), ("az", self._az)):
+            for k, v in d.items():
+                data[f"{name}_{kn(k)}"] = np.asarray(v)
+        np.savez(path, **data)
+
+    @classmethod
+    def from_file(cls, path, dtype=jnp.float64):
+        """Rebuild a grid saved with ``to_file`` without re-evaluating the
+        conformal map (exchange maps and motions are cheap and rebuilt)."""
+        z = np.load(path, allow_pickle=True)
+        obj = object.__new__(cls)
+        obj.N, obj.H = int(z["N"]), int(z["H"])
+        obj.radius = float(z["radius"])
+        obj.map_kind = str(z["map_kind"])
+        obj.dtype = dtype
+        n, h, bounded, regular, extent = z["z_meta"]
+        obj._zaxis = _Axis(int(n), int(h), BOUNDED if bounded else FLAT,
+                           jnp.asarray(z["z_cf"], dtype),
+                           jnp.asarray(z["z_cc"], dtype),
+                           jnp.asarray(z["z_dc"], dtype),
+                           jnp.asarray(z["z_df"], dtype),
+                           bool(regular), float(extent))
+        obj.Nz, obj.Hz = obj._zaxis.n, obj._zaxis.h
+        obj._d = 2.0 / obj.N
+        idx = np.arange(-obj.H, obj.N + obj.H + 1)
+        obj._sq_f = -1.0 + idx * obj._d
+        obj._sq_c = 0.5 * (obj._sq_f[:-1] + obj._sq_f[1:])
+        kn = lambda k: "".join("c" if l is C else "f" for l in k)
+        obj._dx = {k: jnp.asarray(z[f"dx_{kn(k)}"], dtype) for k in cls._KEYS}
+        obj._dy = {k: jnp.asarray(z[f"dy_{kn(k)}"], dtype) for k in cls._KEYS}
+        obj._az = {k: jnp.asarray(z[f"az_{kn(k)}"], dtype) for k in cls._KEYS}
+        obj._centers3d = z["centers3d"]
+        obj._motions_tbl = _side_motions()
+        obj._maps = {}
+        for k in ((C, C), (F, C), (C, F)):
+            obj._maps[k] = obj._build_loc_map(k)
+        obj._lonlat(obj._centers3d)
+        return obj
+
     # -- node lattices ----------------------------------------------------------
     def _lattice_1d(self, l):
         # storage length is n for every location: face-located dims use

@@ -159,3 +159,31 @@ def test_cubed_sphere_tracer_conservation_exact():
                                       UpwindBiasedThirdOrder())
     mass1 = float(jnp.sum(g.interior(cs) * g.interior(jnp.broadcast_to(az[..., None] if az.ndim == 3 else az, c.shape))))
     assert abs(mass1 - mass0) < 1e-10 * abs(mass0)
+
+
+def test_grid_file_roundtrip(tmp_path):
+    """to_file/from_file reproduces metrics and the model step exactly
+    (reference: ConformalCubedSphereGrid is constructed from a grid
+    file, conformal_cubed_sphere_face_grid.jl)."""
+    import jax.numpy as jnp
+    from clima_oceananigans_jl_tpu.models.cubed_sphere_hydrostatic import (
+        CubedSphereHydrostaticModel)
+    from clima_oceananigans_jl_tpu.utils.location import C as LC
+
+    g1 = CubedSphereGrid(size=(8, 8, 1), radius=6.371e6, dtype=jnp.float64,
+                         halo=3)
+    path = str(tmp_path / "cs8.npz")
+    g1.to_file(path)
+    g2 = CubedSphereGrid.from_file(path, dtype=jnp.float64)
+    assert g2.N == g1.N and g2.H == g1.H and g2.Nz == g1.Nz
+    assert np.allclose(np.asarray(g1._az[(LC, LC)]),
+                       np.asarray(g2._az[(LC, LC)]))
+
+    def run(g):
+        model = CubedSphereHydrostaticModel(g, depth=1000.0)
+        state = model.initial_state(
+            eta=lambda p: 0.5 * p[..., 2] / np.linalg.norm(p, axis=-1))
+        state = jax.jit(model.step)(state, jnp.float64(60.0))
+        return np.asarray(state["eta"])
+
+    assert np.allclose(run(g1), run(g2), atol=0.0)
