@@ -279,10 +279,12 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
     S = lambda idx: _axslice(data, axis, idx)
 
     if topo in (PERIODIC,):
-        # one concat: [top interior slab | interior | bottom interior slab]
-        return jnp.concatenate(
-            [data[S(slice(N, N + H))], data[S(slice(H, N + H))],
-             data[S(slice(H, 2 * H))]], axis=axis)
+        # two in-place slab updates: XLA aliases the buffer and touches
+        # only the halo slabs, where a concat re-materializes the whole
+        # array (measured 1.69 GB vs 0.31 GB accessed per 3-axis fill of
+        # a 256³ fp32 field on TPU — benchmark/fill_variants.py)
+        data = data.at[S(slice(0, H))].set(data[S(slice(N, N + H))])
+        return data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
     if topo is FULLY_CONNECTED:
         dist = getattr(grid, "dist", (None, None, None))[axis]
         if dist is None:
@@ -298,22 +300,15 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
             data = select_edge(data, right, mesh_axis, n_shards, 1)
         return data
 
-    # bounded: one concat of [left slab | untouched middle | right slab]
+    # bounded: in-place slab writes (both slabs computed from the
+    # pre-update data; see the periodic branch for why not concat)
     left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t)
     right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t)
-    parts = []
     if left is not None:
-        parts.append(left)
-        mid_start = cut0
-    else:
-        mid_start = 0
-    mid_end = cut1 if right is not None else data.shape[axis]
-    parts.append(data[S(slice(mid_start, mid_end))])
+        data = data.at[S(slice(0, cut0))].set(left)
     if right is not None:
-        parts.append(right)
-    if len(parts) == 1:
-        return data
-    return jnp.concatenate(parts, axis=axis)
+        data = data.at[S(slice(cut1, data.shape[axis]))].set(right)
+    return data
 
 
 def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
