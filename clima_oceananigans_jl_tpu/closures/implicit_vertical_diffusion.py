@@ -37,7 +37,8 @@ def _kappa_plane(kappa, grid, k_index, at_faces):
 
 
 def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
-                                     linear_coeff=None):
+                                     linear_coeff=None, bc_bottom=None,
+                                     bc_top=None, t=0.0):
     """Solve (I − Δt(∂z κ ∂z + L)) out = data along z; returns with-halo
     array.
 
@@ -49,7 +50,13 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
     for CATKE's implicit dissipation Lᵉ = −Cᴰ√e/ℓ (reference
     vertically_implicit_diffusion_solver.jl + CATKE
     implicit_linear_coefficient).
-    """
+
+    `bc_bottom`/`bc_top`: the field's wall BCs. Value (Dirichlet) and
+    Gradient walls are folded INTO the solve (ghost = 2b_w − c and the
+    prescribed-gradient flux respectively) — the reference's ivd solver
+    hardwires zero-flux walls and so silently ignores Dirichlet walls
+    under implicit diffusion; flux BCs stay explicit (they enter the
+    tendency via apply_flux_bcs, like the reference)."""
     az = grid._axes[2]
     Nz, Hz = az.n, az.h
     if Nz == 1:
@@ -75,6 +82,34 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
         if linear_coeff is not None:
             b = b - dt * linear_coeff[:, :, Hz: Hz + Nz]
         rhs = data[:, :, Hz: Hz + Nz]
+
+        # fold Dirichlet/gradient walls into the wall rows
+        def wall(bc, side):
+            nonlocal b, rhs
+            if bc is None or bc.kind not in ("value", "gradient"):
+                return
+            from ..boundary_conditions.bcs import _bvalue
+            bw = jnp.asarray(_bvalue(bc, grid, 2, side, loc, t), data.dtype)
+            if bw.ndim == 3:
+                bw = bw[:, :, 0]
+            kk = 0 if side == 0 else Nz - 1
+            kface = 0 if side == 0 else Nz
+            kap_w = kap(kface)
+            dz_c = dzc[Hz + kk]
+            if bc.kind == "value":
+                # ghost = 2·b_w − c ⇒ wall flux = 2κ(c − b_w)/Δz_f
+                dz_f = dzf[Hz + kface]
+                coef = dt * 2.0 * kap_w / (dz_c * dz_f)
+                b = b.at[:, :, kk].add(jnp.broadcast_to(coef, b.shape[:2]))
+                rhs = rhs.at[:, :, kk].add(
+                    jnp.broadcast_to(coef * bw, rhs.shape[:2]))
+            else:  # prescribed wall gradient g: flux = κ·g (constant → RHS)
+                sgn = -1.0 if side == 0 else 1.0
+                rhs = rhs.at[:, :, kk].add(jnp.broadcast_to(
+                    sgn * dt * kap_w * bw / dz_c, rhs.shape[:2]))
+
+        wall(bc_bottom, 0)
+        wall(bc_top, 1)
         sol = solve_batched_tridiagonal(a, b, c, rhs)
         return data.at[:, :, Hz: Hz + Nz].set(sol)
 
@@ -113,16 +148,20 @@ def _vertical_coefficient(closure, name, diffusivities):
     return closure.kappa_z_for(name)
 
 
-def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None):
+def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None,
+                         bcs=None, t=0.0):
     """Apply the implicit vertical solve to every prognostic field
     (reference implicit_step!, quasi_adams_bashforth_2.jl:137-144).
-    Closure tuples apply sequentially (operator splitting)."""
+    Closure tuples apply sequentially (operator splitting). ``bcs``
+    (dict name → FieldBCs) folds Value/Gradient wall conditions into
+    the solves."""
     if closure is None:
         return solution
     if isinstance(closure, (tuple, list)):
         diffusivities = diffusivities or (None,) * len(closure)
         for c, d in zip(closure, diffusivities):
-            solution = implicit_step_fields(solution, grid, locs, c, dt, d)
+            solution = implicit_step_fields(solution, grid, locs, c, dt, d,
+                                            bcs, t)
         return solution
     if not getattr(closure, "vertically_implicit", False):
         return solution
@@ -139,6 +178,9 @@ def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None):
                 kz = _st.iyf(kz)
         lin = (closure.implicit_linear_coefficient(name, diffusivities)
                if hasattr(closure, "implicit_linear_coefficient") else None)
-        out[name] = implicit_vertical_diffusion_step(data, grid, locs[name],
-                                                     kz, dt, lin)
+        fb = bcs.get(name) if bcs else None
+        out[name] = implicit_vertical_diffusion_step(
+            data, grid, locs[name], kz, dt, lin,
+            bc_bottom=fb.bottom if fb else None,
+            bc_top=fb.top if fb else None, t=t)
     return out

@@ -295,7 +295,8 @@ class HydrostaticFreeSurfaceModel:
             stepped = ab2_substep(sol_all, G, G_prev, dt, self.ab2_chi, euler)
             eta = stepped.pop("eta")
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
-                                       dt, state.get("diffusivities"))
+                                       dt, state.get("diffusivities"),
+                                       self.bcs, clock0.time)
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
         elif isinstance(fs, SplitExplicitFreeSurface):
@@ -309,7 +310,8 @@ class HydrostaticFreeSurfaceModel:
                                     c1 * G["v"] - c2 * G_prev["v"])
             stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
-                                       dt, state.get("diffusivities"))
+                                       dt, state.get("diffusivities"),
+                                       self.bcs, clock0.time)
             eta, U_av, V_av = fs.substep_eta(grid, self.eta_bcs, state["eta"],
                                              GU, GV, U0, V0, dt)
             u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av)
@@ -319,7 +321,8 @@ class HydrostaticFreeSurfaceModel:
         else:  # ImplicitFreeSurface
             stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
-                                       dt, state.get("diffusivities"))
+                                       dt, state.get("diffusivities"),
+                                       self.bcs, clock0.time)
             sol = self.fill_all_halos(sol, clock0.time)
             Qu, Qv = barotropic_mode(grid, sol["u"], sol["v"])
             g_const = fs.gravitational_acceleration

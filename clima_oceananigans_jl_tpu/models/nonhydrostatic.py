@@ -525,7 +525,8 @@ class NonhydrostaticModel:
         sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                           self.ab2_chi, euler)
         sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure,
-                                   dt, state.get("diffusivities"))
+                                   dt, state.get("diffusivities"),
+                                   self.bcs, clock0.time)
         state = dict(state, solution=sol)
         state = self.project_velocities(state, dt)
         clock = clock0.tick(dt)
@@ -545,7 +546,8 @@ class NonhydrostaticModel:
             stage_dt = (gamma + zeta) * dt
             sol = implicit_step_fields(sol, self.grid, self._locs(),
                                        self.closure, stage_dt,
-                                       state.get("diffusivities"))
+                                       state.get("diffusivities"),
+                                       self.bcs, clock0.time)
             state = dict(state, solution=sol)
             state = self.project_velocities(state, stage_dt)
             clock = state["clock"].tick(stage_dt, stage=True)

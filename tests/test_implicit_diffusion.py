@@ -92,3 +92,39 @@ def test_model_with_vertically_implicit_closure_runs_stably():
     T = np.asarray(model.grid.interior(state["solution"]["T"]))
     assert np.all(np.isfinite(T))
     assert T.min() >= 20.0 - 1e-8 and T.max() <= 21.0 + 1e-8
+
+
+def test_implicit_solve_honors_value_and_gradient_walls():
+    """Value (Dirichlet) and Gradient wall BCs are folded into the
+    implicit vertical solve: a diffusion-only column relaxes to the
+    exact steady profile (the reference's ivd solver hardwires zero-flux
+    walls; see implicit_vertical_diffusion.py docstring)."""
+    import jax
+    from clima_oceananigans_jl_tpu import FieldBCs, GradientBC, ValueBC
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+
+    nz, kappa = 32, 0.5
+    grid = RectilinearGrid(size=(4, 1, nz), x=(0, 1), y=(0, 1), z=(0.0, 1.0),
+                           topology=(PERIODIC, FLAT, BOUNDED),
+                           dtype=jnp.float64)
+    model = NonhydrostaticModel(
+        grid, tracers=("c", "d"), advection=None,
+        closure=ScalarDiffusivity(nu=0.0, kappa=kappa,
+                                  time_discretization="vertically_implicit"),
+        boundary_conditions={
+            "c": FieldBCs(bottom=ValueBC(1.0), top=ValueBC(3.0)),
+            # steady state with bottom value 2, top gradient 4: c = 2 + 4z
+            "d": FieldBCs(bottom=ValueBC(2.0), top=GradientBC(4.0)),
+        })
+    g = model.grid
+    state = model.initial_state()
+    dt = jnp.float64(0.05)  # implicit: far above the explicit limit
+    step = jax.jit(model.step)
+    for _ in range(500):  # mixed Dirichlet/Neumann mode decays ~4x slower
+        state = step(state, dt)
+    zc = np.asarray(g.coord(2, "c"))
+    c = np.asarray(g.interior(state["solution"]["c"])).mean((0, 1))
+    d = np.asarray(g.interior(state["solution"]["d"])).mean((0, 1))
+    assert np.abs(c - (1.0 + 2.0 * zc)).max() < 1e-8
+    assert np.abs(d - (2.0 + 4.0 * zc)).max() < 1e-8
