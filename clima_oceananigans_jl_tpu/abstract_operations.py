@@ -138,6 +138,26 @@ class BinaryOperation(Operand):
 
 
 @dataclasses.dataclass
+class GridMetric(Operand):
+    """A grid metric as an expression operand (reference
+    AbstractOperations/grid_metrics.jl: Δx/Δy/Δz/Az/volume used like
+    fields, e.g. ``Integral(c * GridMetric('volume'))``). ``metric`` is
+    one of dx, dy, dz, Ax, Ay, Az, volume."""
+
+    metric: str
+    at_loc: tuple = CENTER
+
+    @property
+    def loc(self):
+        return self.at_loc
+
+    def evaluate(self, grid):
+        fn = {"dx": grid.dx, "dy": grid.dy, "dz": grid.dz, "Ax": grid.Ax,
+              "Ay": grid.Ay, "Az": grid.Az, "volume": grid.V}[self.metric]
+        return jnp.broadcast_to(fn(self.at_loc), grid.total_shape)
+
+
+@dataclasses.dataclass
 class MultiaryOperation(Operand):
     """fn(*args) with every argument auto-interpolated to a common
     location (reference AbstractOperations multiary_operations.jl,

@@ -60,10 +60,15 @@ class ScalarDiffusivity:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ScalarBiharmonicDiffusivity:
-    """4th-order hyperdiffusion −ν∇⁴ (reference scalar_biharmonic_diffusivity.jl)."""
+    """4th-order hyperdiffusion −ν∇⁴ (reference
+    scalar_biharmonic_diffusivity.jl). ``formulation``:
+    'three_dimensional' (default, like the reference) or 'horizontal'
+    (∇h⁴ only — the standard choice for eddy-permitting channels, where
+    an isotropic ν₄ sized for Δx≫Δz would be wildly unstable along z)."""
 
     nu: Any = 0.0
     kappa: Any = 0.0
+    formulation: str = "three_dimensional"
 
     def kappa_for(self, name):
         if isinstance(self.kappa, dict):
@@ -73,11 +78,11 @@ class ScalarBiharmonicDiffusivity:
     vertically_implicit = False
 
     def tree_flatten(self):
-        return (self.nu, self.kappa), ()
+        return (self.nu, self.kappa), (self.formulation,)
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        return cls(*leaves)
+        return cls(*leaves, formulation=static[0])
 
 
 def HorizontalScalarDiffusivity(nu=0.0, kappa=0.0):
@@ -139,11 +144,13 @@ def div_kappa_grad(c, grid, loc, kappa, kappa_z=None, horizontal_only=False,
     return out / grid.V(loc)
 
 
-def biharmonic(c, grid, loc, kappa):
+def biharmonic(c, grid, loc, kappa, horizontal=False):
     """−∇·(κ∇(∇²c)): computed as two laplacian passes (needs halo ≥ 2 and a
-    halo refill between passes is avoided by consuming 2 halo cells)."""
-    lap = op.laplacian(c, grid, loc)
-    return -div_kappa_grad(lap, grid, loc, kappa)
+    halo refill between passes is avoided by consuming 2 halo cells).
+    ``horizontal=True`` → ∇h⁴ (HorizontalFormulation)."""
+    axes = (0, 1) if horizontal else (0, 1, 2)
+    lap = op.laplacian(c, grid, loc, axes=axes)
+    return -div_kappa_grad(lap, grid, loc, kappa, vertical=not horizontal)
 
 
 def compute_closure_diffusivities(closure, grid, fields, buoyancy, tracers):
@@ -173,7 +180,8 @@ def momentum_diffusion(u, grid, u_loc, closure, diffusivities=None):
             out = out + momentum_diffusion(u, grid, u_loc, c, d)
         return out
     if isinstance(closure, ScalarBiharmonicDiffusivity):
-        return biharmonic(u, grid, u_loc, closure.nu)
+        return biharmonic(u, grid, u_loc, closure.nu,
+                          horizontal=closure.formulation == "horizontal")
     if isinstance(closure, ScalarDiffusivity):
         nu_z = closure.nu_z if closure.nu_z is not None else closure.nu
         return div_kappa_grad(u, grid, u_loc, closure.nu, nu_z,
@@ -198,7 +206,8 @@ def tracer_diffusion(c, grid, name, closure, diffusivities=None):
             out = out + tracer_diffusion(c, grid, name, cl, d)
         return out
     if isinstance(closure, ScalarBiharmonicDiffusivity):
-        return biharmonic(c, grid, CENTER, closure.kappa_for(name))
+        return biharmonic(c, grid, CENTER, closure.kappa_for(name),
+                          horizontal=closure.formulation == "horizontal")
     if isinstance(closure, ScalarDiffusivity):
         return div_kappa_grad(c, grid, CENTER, closure.kappa_for(name),
                               closure.kappa_z_for(name),

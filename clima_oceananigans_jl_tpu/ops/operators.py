@@ -81,11 +81,13 @@ def zeta3_ffc(u, v, grid):
             - st.dyf(grid.dx(U_LOC) * u)) / grid.Az((F, F, C))
 
 
-def laplacian(c, grid, loc=CENTER):
-    """FV Laplacian ∇·∇c of a field at `loc` (usually centers)."""
-    fx = grid.Ax(flip_loc(loc, 0)) * dd(c, grid, 0, loc)
-    fy = grid.Ay(flip_loc(loc, 1)) * dd(c, grid, 1, loc)
-    fz = grid.Az(flip_loc(loc, 2)) * dd(c, grid, 2, loc)
-    return (delta(fx, 0, flip_loc(loc, 0))
-            + delta(fy, 1, flip_loc(loc, 1))
-            + delta(fz, 2, flip_loc(loc, 2))) / grid.V(loc)
+def laplacian(c, grid, loc=CENTER, axes=(0, 1, 2)):
+    """FV Laplacian ∇·∇c of a field at `loc` (usually centers); `axes`
+    restricts the divergence (e.g. (0, 1) for the horizontal Laplacian
+    of horizontal-formulation closures)."""
+    areas = (grid.Ax, grid.Ay, grid.Az)
+    out = 0.0
+    for a in axes:
+        fl = flip_loc(loc, a)
+        out = out + delta(areas[a](fl) * dd(c, grid, a, loc), a, fl)
+    return out / grid.V(loc)

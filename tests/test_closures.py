@@ -210,3 +210,32 @@ def test_catke_implicit_dissipation_decays_tke():
     assert np.all(np.isfinite(e))
     assert float(e.max()) < e0      # decayed
     assert float(e.min()) >= -1e-12  # implicit treatment never overshoots
+
+
+def test_biharmonic_horizontal_formulation():
+    """HorizontalFormulation biharmonic applies ∇h⁴ only (reference
+    scalar_biharmonic_diffusivity.jl formulation argument): z-variation
+    must produce zero tendency, and the x-mode decays at ν k⁴."""
+    from clima_oceananigans_jl_tpu import CENTER
+    from clima_oceananigans_jl_tpu.closures.scalar_diffusivity import (
+        ScalarBiharmonicDiffusivity, tracer_diffusion)
+    from clima_oceananigans_jl_tpu.boundary_conditions.bcs import (
+        fill_halos, regularize_bcs)
+    n = 32
+    g = RectilinearGrid(size=(n, 4, 8), x=(0, 2 * np.pi), y=(0, 1.0),
+                        z=(0.0, 1.0), topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    x, y, z = g.nodes(CENTER, with_halo=True)
+    c = (jnp.sin(2 * x) + jnp.cos(2 * jnp.pi * z)) * jnp.ones(g.total_shape)
+    c = fill_halos(c, g, CENTER, regularize_bcs(g, CENTER))
+    cl = ScalarBiharmonicDiffusivity(kappa=1.0, formulation="horizontal")
+    G = np.asarray(g.interior(tracer_diffusion(c, g, "c", cl)))
+    xi = np.asarray(g.coord(0, "c"))
+    # −κ kx⁴ sin(2x) with the discrete kx² = (2 sin(kΔ/2)/Δ)²
+    dx = 2 * np.pi / n
+    k2 = (2 * np.sin(2 * dx / 2) / dx) ** 2
+    expected = -(k2 ** 2) * np.sin(2 * xi)
+    got_x = G[:, 0, 4]
+    # the z-cosine contributes nothing under the horizontal formulation
+    assert np.allclose(got_x, expected, atol=1e-10)
+    assert np.allclose(G[:, 0, 0], G[:, 0, -1], atol=1e-10)

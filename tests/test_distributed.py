@@ -283,3 +283,40 @@ def test_overlap_halo_step_matches_single_device():
         a = np.asarray(model.grid.interior(s_single["solution"][name]))
         b = np.asarray(model.grid.interior(s_dist["solution"][name]))
         assert np.allclose(a, b, atol=1e-10), name
+
+
+@needs8
+def test_overlap_halo_rk3_matches_single_device():
+    """overlap_halo with the RK3 stepper (every stage runs the
+    interior/edge split)."""
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(PERIODIC, PERIODIC, PERIODIC),
+                           dtype=jnp.float64)
+    model = NonhydrostaticModel(grid, advection=WENO5(), tracers=("c",),
+                                timestepper="RungeKutta3")
+    key = jax.random.PRNGKey(7)
+    ku, kc = jax.random.split(key)
+    state0 = model.initial_state(
+        u=1e-2 * jax.random.normal(ku, grid.shape, jnp.float64),
+        c=jax.random.normal(kc, grid.shape, jnp.float64))
+    dt = jnp.float64(5e-4)
+
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(2):
+        s_single = step(s_single, dt)
+
+    mesh = make_mesh((2, 2))
+    dmodel = DistributedModel(model, mesh, overlap_halo=True)
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(2):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(model.grid.interior(s_single["solution"][name]))
+        b = np.asarray(model.grid.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-10), name

@@ -317,3 +317,22 @@ def test_set_field_from_field_and_operation():
     u_at_c = 0.5 * (ui + np.roll(ui, -1, 0))
     assert np.allclose(np.asarray(grid.interior(cf.data)), u_at_c, atol=1e-12)
     assert np.allclose(np.asarray(grid.interior(c.data)), 2 * u_at_c, atol=1e-12)
+
+
+def test_grid_metric_operand():
+    """Grid metrics as expression operands (reference grid_metrics.jl):
+    summing c·V over the interior equals the metric-weighted Integral."""
+    from clima_oceananigans_jl_tpu.abstract_operations import (
+        GridMetric, Integral, compute)
+    from clima_oceananigans_jl_tpu.fields.field import CenterField, set_field
+    import numpy as _np
+
+    zf = -_np.cos(_np.linspace(0, _np.pi / 2, 5))  # stretched z
+    grid = RectilinearGrid(size=(8, 4, 4), x=(0, 2.0), y=(0, 1.0), z=zf,
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    c = set_field(CenterField(grid), grid, lambda x, y, z: 1.0 + x * z)
+    cv = compute(c * GridMetric("volume"), grid)
+    direct = float(jnp.sum(grid.interior(cv.data)))
+    via_integral = float(Integral(c).compute(grid))
+    assert np.isclose(direct, via_integral, rtol=1e-12)
