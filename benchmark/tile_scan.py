@@ -14,7 +14,7 @@ ks = jax.random.split(key, 4)
 u, v, w, c = (jax.random.normal(k, grid.total_shape, jnp.float32) for k in ks)
 
 orig = ft._tile_sizes
-for tx, ty in [(4, 24), (8, 8), (8, 16), (4, 40), (2, 56), (16, 8), (8, 24)]:
+for tx, ty in [(8, 128), (8, 64), (16, 64), (16, 128), (8, 256), (32, 32), (4, 128), (8, 32)]:
     ft._tile_sizes = lambda *a, **kw: (tx, ty)
     try:
         f = jax.jit(lambda u, v, w, c: ft.fused_advective_tendencies(
