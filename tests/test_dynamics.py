@@ -197,3 +197,80 @@ def test_hydrostatic_geostrophic_balance_is_steady():
     drift = np.abs(v_fin - v_init).max() / np.abs(v_init).max()
     assert drift < 0.05, drift
     assert np.abs(u_fin).max() < 0.05 * np.abs(v_init).max()
+
+
+def test_inviscid_kinetic_energy_conservation():
+    """Centered-2 advection + projection conserves KE spatially (mimetic
+    discretization); with RK3 the only drift is O(Δt³) time truncation
+    (reference's energy-conserving discretization property)."""
+    n = 32
+    g = RectilinearGrid(size=(n, n, 1), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                        topology=(PERIODIC, PERIODIC, FLAT), dtype=jnp.float64)
+    model = NonhydrostaticModel(grid=g, advection=CenteredSecondOrder(),
+                                timestepper="RungeKutta3")
+    g = model.grid
+    key = jax.random.PRNGKey(21)
+    k1, k2 = jax.random.split(key)
+    state = model.initial_state(
+        u=jax.random.normal(k1, g.shape, jnp.float64),
+        v=jax.random.normal(k2, g.shape, jnp.float64))
+
+    def ke(s):
+        u = np.asarray(g.interior(s["solution"]["u"]))
+        v = np.asarray(g.interior(s["solution"]["v"]))
+        return float((u * u + v * v).sum())
+
+    e0 = ke(state)   # post-projection (initial_state projects? measure after 1)
+    step = jax.jit(model.step)
+    state = step(state, jnp.float64(1e-3))
+    e1 = ke(state)
+    for _ in range(200):
+        state = step(state, jnp.float64(1e-3))
+    e2 = ke(state)
+    drift = abs(e2 - e1) / e1
+    assert drift < 2e-4, drift
+
+
+def test_enstrophy_conserving_coriolis_and_advection():
+    """The enstrophy-conserving vector-invariant scheme keeps 2D
+    enstrophy Z = ∫ζ² drift at time-truncation level in inviscid flow
+    (reference EnstrophyConservingScheme property)."""
+    from clima_oceananigans_jl_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel)
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        ImplicitFreeSurface)
+    from clima_oceananigans_jl_tpu.advection.vector_invariant import (
+        VectorInvariant)
+    from clima_oceananigans_jl_tpu.ops.operators import zeta3_ffc
+
+    n = 32
+    g = RectilinearGrid(size=(n, n, 1), x=(0, 1e5), y=(0, 1e5), z=(-10.0, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    model = HydrostaticFreeSurfaceModel(
+        grid=g, coriolis=FPlane(f=1e-4),
+        momentum_advection=VectorInvariant(scheme="enstrophy"),
+        free_surface=ImplicitFreeSurface(solver_method="fft"))
+    g = model.grid
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    state = model.initial_state(
+        u=0.1 * jax.random.normal(k1, g.shape, jnp.float64),
+        v=0.1 * jax.random.normal(k2, g.shape, jnp.float64))
+
+    def enstrophy(s):
+        sol = s["solution"]
+        from clima_oceananigans_jl_tpu.boundary_conditions.bcs import fill_halos
+        u = fill_halos(sol["u"], g, model._locs()["u"], model.bcs["u"])
+        v = fill_halos(sol["v"], g, model._locs()["v"], model.bcs["v"])
+        z = np.asarray(g.interior(zeta3_ffc(u, v, g)))
+        return float((z * z).sum())
+
+    step = jax.jit(model.step)
+    state = step(state, jnp.float64(20.0))
+    z1 = enstrophy(state)
+    for _ in range(100):
+        state = step(state, jnp.float64(20.0))
+    z2 = enstrophy(state)
+    drift = abs(z2 - z1) / z1
+    assert drift < 5e-3, drift
