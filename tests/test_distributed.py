@@ -320,3 +320,45 @@ def test_overlap_halo_rk3_matches_single_device():
         a = np.asarray(model.grid.interior(s_single["solution"][name]))
         b = np.asarray(model.grid.interior(s_dist["solution"][name]))
         assert np.allclose(a, b, atol=1e-10), name
+
+
+@needs8
+def test_distributed_split_explicit_matches_single_device():
+    """The flagship near-global configuration's free surface: every
+    barotropic substep's 2D halo fill rides the same ppermute exchange
+    (reference distributed split-explicit kernels)."""
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        SplitExplicitFreeSurface)
+
+    grid = RectilinearGrid(size=(16, 16, 4), x=(0, 1e5), y=(0, 1e5),
+                           z=(-100.0, 0),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=20),
+        coriolis=FPlane(f=1e-4), closure=ScalarDiffusivity(nu=10.0, nu_z=1e-3))
+    state0 = model.initial_state(
+        eta=lambda x, y: 0.01 * jnp.sin(2 * jnp.pi * x / 1e5),
+        u=lambda x, y, z: 0.01 * jnp.cos(2 * jnp.pi * y / 1e5))
+    dt = jnp.float64(50.0)
+
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(5):
+        s_single = step(s_single, dt)
+
+    mesh = make_mesh((2, 2))
+    dmodel = DistributedModel(model, mesh)
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(5):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    g = model.grid
+    for name in ("u", "v"):
+        a = np.asarray(g.interior(s_single["solution"][name]))
+        b = np.asarray(g.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-12), name
+    a = np.asarray(s_single["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    b = np.asarray(s_dist["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    assert np.allclose(a, b, atol=1e-12)
