@@ -14,8 +14,9 @@ from .boundary_conditions.bcs import (
     fill_halos, apply_flux_bcs, regularize_bcs, default_bcs,
 )
 from .fields.field import (
-    Field, CenterField, XFaceField, YFaceField, ZFaceField,
+    Field, CenterField, XFaceField, YFaceField, ZFaceField, FunctionField,
     VelocityFields, TracerFields, set_field, integral, average, field_norm,
+    interpolate, regrid, windowed,
 )
 
 from .advection.schemes import (
@@ -50,15 +51,26 @@ from .forcings.forcing import (
 )
 from .stokes_drift import UniformStokesDrift
 from .abstract_operations import (
-    Average, Integral, KernelFunctionOperation, at, compute,
-    partial_x, partial_y, partial_z,
+    Average, GridMetric, Integral, KernelFunctionOperation,
+    MultiaryOperation, at, compute, partial_x, partial_y, partial_z,
 )
-from .immersed.immersed import GridFittedBottom, GridFittedBoundary, ImmersedBoundary
+from .immersed.immersed import (GridFittedBottom, GridFittedBoundary,
+                                ImmersedBoundary, PartialCellBottom)
 from .particles.lagrangian import LagrangianParticles
 from .output.writers import HDF5OutputWriter, NetCDFOutputWriter, WindowedTimeAverage
 from .output.checkpointer import Checkpointer
 from .output.readers import FieldDataset, FieldTimeSeries
 from .diagnostics.diagnostics import AdvectiveCFL, CFL, DiffusiveCFL, StateChecker
 from .parallel.distributed import DistributedModel, make_mesh
+from .parallel.multihost import initialize_distributed, pod_mesh
+from .solvers.pcg import cg_solve
+from .solvers.stencil_matrix import (HeptadiagonalIterativeSolver,
+                                     MultigridPoissonSolver, MultigridSolver,
+                                     StencilMatrix)
+from .grids.cubed_sphere import CubedSphereGrid
+from .models.cubed_sphere_hydrostatic import CubedSphereHydrostaticModel
+from .closures.vertical_mixing import (CATKEVerticalDiffusivity,
+                                       ConvectiveAdjustmentVerticalDiffusivity,
+                                       RiBasedVerticalDiffusivity)
 
 __version__ = "0.1.0"
