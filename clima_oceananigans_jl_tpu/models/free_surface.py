@@ -51,13 +51,27 @@ def barotropic_mode(grid, u, v):
 
 
 def column_depths(grid):
-    """(Hᶠᶜ, Hᶜᶠ) static water depths (broadcastable (·,·,1) arrays)."""
+    """(Hᶠᶜ, Hᶜᶠ) static water depths (broadcastable (·,·,1) arrays).
+    On an ImmersedGrid only FLUID cells contribute, so the implicit
+    free-surface operator and the barotropic corrector see the true
+    column depth over bathymetry (reference: the implicit-η solvers'
+    ∫dz runs over the immersed column)."""
     Hz, Nz = grid.Hz, grid.Nz
     one = jnp.ones(grid.total_shape[:2] + (1,), grid.dtype)
-    hfc = jnp.sum(jnp.broadcast_to(grid.dz(U_LOC), grid.total_shape)[:, :, Hz:Hz + Nz],
-                  axis=2, keepdims=True)
-    hcf = jnp.sum(jnp.broadcast_to(grid.dz(V_LOC), grid.total_shape)[:, :, Hz:Hz + Nz],
-                  axis=2, keepdims=True)
+    dz_fc = jnp.broadcast_to(grid.dz(U_LOC), grid.total_shape)
+    dz_cf = jnp.broadcast_to(grid.dz(V_LOC), grid.total_shape)
+    imm = getattr(grid, "immersed", None)
+    if imm is not None:
+        dz_fc = jnp.where(imm.mask_for(U_LOC), 0.0, dz_fc)
+        dz_cf = jnp.where(imm.mask_for(V_LOC), 0.0, dz_cf)
+    hfc = jnp.sum(dz_fc[:, :, Hz:Hz + Nz], axis=2, keepdims=True)
+    hcf = jnp.sum(dz_cf[:, :, Hz:Hz + Nz], axis=2, keepdims=True)
+    if imm is not None:
+        # fully-solid columns: keep a positive depth so 1/H stays finite
+        # (their velocities are masked to zero anyway)
+        eps = jnp.asarray(grid._axes[2].extent * 1e-3, grid.dtype)
+        hfc = jnp.maximum(hfc, eps)
+        hcf = jnp.maximum(hcf, eps)
     return one * hfc, one * hcf
 
 
@@ -115,6 +129,10 @@ class ImplicitFreeSurface:
             return "pcg"  # distributed: CG with psum'd inner products
         if self.solver_method != "auto":
             return self.solver_method
+        # the FFT eigen-solve assumes a CONSTANT column depth — immersed
+        # bathymetry makes H(x, y) variable, so fall back to CG
+        if getattr(grid, "immersed", None) is not None:
+            return "pcg"
         return "fft" if (not grid.curvilinear and grid.hregular) else "pcg"
 
     def solve(self, grid, eta_bcs, rhs, eta0, dt):

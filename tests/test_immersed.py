@@ -156,3 +156,44 @@ def test_hydrostatic_immersed_runs_and_conserves():
     # only to O(η/H); strict conservation is covered by the
     # nonhydrostatic test above
     assert abs(total(state) - t0) < 1e-3 * abs(t0)
+
+
+def test_implicit_free_surface_sees_immersed_depth():
+    """The implicit free-surface operator uses the TRUE fluid column
+    depth over bathymetry (column_depths is immersed-aware): a gravity
+    wave crossing a ridge agrees with the explicit free surface stepped
+    at the same small dt, and the wave slows over the ridge."""
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        ExplicitFreeSurface, ImplicitFreeSurface)
+    from clima_oceananigans_jl_tpu import PERIODIC, FLAT, BOUNDED
+
+    L, H = 1e5, 100.0
+    ridge = lambda x, y: -H + 60.0 * jnp.exp(-((x - L / 2) / 8e3) ** 2)
+    g = RectilinearGrid(size=(64, 1, 8), x=(0, L), y=(0, 1), z=(-H, 0),
+                        topology=(PERIODIC, FLAT, BOUNDED), dtype=jnp.float64)
+
+    def run(fs):
+        model = HydrostaticModel(g, free_surface=fs, momentum_advection=None,
+                                 immersed_boundary=GridFittedBottom(ridge))
+        state = model.initial_state(
+            eta=lambda x, y: 0.01 * jnp.exp(-((x - L / 4) / 6e3) ** 2))
+        step = jax.jit(model.step)
+        dt = jnp.float64(10.0)  # explicit-stable: c·dt/dx ≈ 0.2
+        for _ in range(60):
+            state = step(state, dt)
+        gi = model.grid
+        return np.asarray(state["eta"])[gi.Hx:gi.Hx + gi.Nx, gi.Hy, 0]
+
+    eta_exp = run(ExplicitFreeSurface())
+    eta_imp = run(ImplicitFreeSurface(solver_method="auto", tolerance=1e-12,
+                                      maxiter=600))
+    assert np.isfinite(eta_imp).all() and np.isfinite(eta_exp).all()
+    # the implicit θ-scheme damps slightly but must track the explicit
+    # phase — which it only does if the implicit operator carries the
+    # IMMERSED column depth (with full H the ridge-crossing speed is
+    # wrong by √(H/(H−60)) ≈ 1.6 and the fields decorrelate)
+    corr = np.corrcoef(eta_imp, eta_exp)[0, 1]
+    assert corr > 0.99, corr
+    assert np.argmax(np.abs(eta_imp)) == np.argmax(np.abs(eta_exp))
+    amp = np.abs(eta_imp).max() / np.abs(eta_exp).max()
+    assert 0.85 < amp < 1.05, amp
