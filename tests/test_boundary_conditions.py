@@ -90,3 +90,43 @@ def test_functional_bc_value():
     top_ghost = d[g.Hx:g.Hx + 4, 0, g.Hz + 4]
     interior = d[g.Hx:g.Hx + 4, 0, g.Hz + 3]
     assert np.allclose(0.5 * (top_ghost + interior), xc)
+
+
+def test_flux_bc_tracer_budget_integration():
+    """Integrated flux-BC budget (reference
+    test_boundary_conditions_integration.jl): with a constant top flux Q
+    and a bottom flux of opposite sign, the domain tracer content
+    changes at exactly (Q_top − Q_bot)·A·t, for both explicit and
+    vertically-implicit diffusion."""
+    import jax
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+    from clima_oceananigans_jl_tpu import ScalarDiffusivity, CENTER
+
+    for td in ("explicit", "vertically_implicit"):
+        g = RectilinearGrid(size=(4, 4, 16), x=(0, 2.0), y=(0, 3.0),
+                            z=(-1.0, 0.0),
+                            topology=(PERIODIC, PERIODIC, BOUNDED),
+                            dtype=jnp.float64)
+        model = NonhydrostaticModel(
+            g, tracers=("c",), advection=None,
+            closure=ScalarDiffusivity(nu=0.0, kappa=1e-3,
+                                      time_discretization=td),
+            boundary_conditions={"c": FieldBCs(top=FluxBC(2.5),
+                                               bottom=FluxBC(1.0))})
+        gi = model.grid
+        state = model.initial_state(c=1.0)
+        dt, n = jnp.float64(1e-2), 50
+        step = jax.jit(model.step)
+        for _ in range(n):
+            state = step(state, dt)
+        vol = np.asarray(jnp.broadcast_to(gi.V(CENTER), gi.total_shape))
+        c = np.asarray(state["solution"]["c"])
+        sl = tuple(slice(h, h + s) for h, s in zip(gi.halo, gi.shape))
+        total = (c * vol)[sl].sum()
+        total0 = 1.0 * 2.0 * 3.0 * 1.0
+        area, t = 2.0 * 3.0, n * float(dt)
+        # sign convention: positive top flux removes tracer, positive
+        # bottom flux adds it (see validation/vertical_mixing_closures)
+        expected = total0 + (1.0 - 2.5) * area * t
+        assert np.isclose(total, expected, rtol=1e-12), (total, expected, td)
