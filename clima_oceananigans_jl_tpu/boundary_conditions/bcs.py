@@ -325,6 +325,35 @@ def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
     return data
 
 
+def apply_immersed_flux_bcs(G, grid, loc, bcs, t=0.0):
+    """Add a user flux through the IMMERSED bottom faces into the
+    tendency (reference immersed_boundary_condition.jl — per-face user
+    fluxes on the immersed boundary; here the bottom z-face of every
+    fluid cell whose lower neighbour is solid, the GridFittedBottom
+    surface). Sign convention matches a bottom FluxBC: positive flux
+    adds to the field. Register as ``FieldBCs(immersed=FluxBC(q))``;
+    q may be a constant or ``q(x, y, z, t)`` evaluated at cell centers
+    along the boundary."""
+    bc = getattr(bcs, "immersed", None)
+    imm = getattr(grid, "immersed", None)
+    if bc is None or imm is None:
+        return G
+    if bc.kind != "flux":
+        raise ValueError("immersed boundary conditions support flux form "
+                         "(the reference's ImmersedBoundaryCondition fluxes)")
+    solid = imm.mask_for(tuple(loc))
+    # fluid cell whose k−1 neighbour is solid → its bottom face is the
+    # immersed boundary
+    at_bottom = (~solid) & jnp.roll(solid, 1, axis=2)
+    if callable(bc.value):
+        x, y, z = grid.nodes(loc, with_halo=True)
+        q = jnp.asarray(bc.value(x, y, z, t), G.dtype)
+    else:
+        q = jnp.asarray(bc.value, G.dtype)
+    contrib = q * grid.Az(loc) / grid.V(loc)
+    return jnp.where(at_bottom, G + contrib, G)
+
+
 def apply_flux_bcs(G, grid, loc, bcs, t=0.0):
     """Add boundary-flux divergences into the tendency G (interior-sized
     contribution at the first/last interior cell of each bounded axis)."""

@@ -25,6 +25,7 @@ from ..advection.fluxes import div_Uc, div_vu, div_vv
 from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
 from ..advection.vector_invariant import VectorInvariant
 from ..boundary_conditions.bcs import (FieldBCs, FluxBC, OpenBC, apply_flux_bcs,
+                                       apply_immersed_flux_bcs,
                                        fill_halos, regularize_bcs)
 from ..buoyancy.buoyancy import hydrostatic_pressure_anomaly
 from ..closures.implicit_vertical_diffusion import implicit_step_fields
@@ -270,6 +271,9 @@ class HydrostaticFreeSurfaceModel:
                 G[name] = G[name] + self.forcing[name](grid, clock, fields)
             G[name] = apply_flux_bcs(G[name], grid, locs[name],
                                      self.bcs[name], clock.time)
+            if self.immersed_boundary is not None:
+                G[name] = apply_immersed_flux_bcs(G[name], grid, locs[name],
+                                                  self.bcs[name], clock.time)
         if self.immersed_boundary is not None:
             G = {k: self.immersed_boundary.mask_tendency(self, k, g_arr)
                  for k, g_arr in G.items()}

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
 from ..advection.schemes import AdvectionScheme, CenteredSecondOrder
-from ..boundary_conditions.bcs import apply_flux_bcs, fill_halos, regularize_bcs
+from ..boundary_conditions.bcs import (apply_flux_bcs,
+                                       apply_immersed_flux_bcs,
+                                       fill_halos, regularize_bcs)
 from ..buoyancy.buoyancy import buoyancy_z_term, hydrostatic_pressure_anomaly
 from ..closures.scalar_diffusivity import (compute_closure_diffusivities,
                                            momentum_diffusion, tracer_diffusion)
@@ -370,6 +372,9 @@ class NonhydrostaticModel:
                 G[name] = G[name] + self.forcing[name](grid, clock, fields)
             G[name] = apply_flux_bcs(G[name], grid, locs[name],
                                      self.bcs[name], clock.time)
+            if self.immersed_boundary is not None:
+                G[name] = apply_immersed_flux_bcs(G[name], grid, locs[name],
+                                                  self.bcs[name], clock.time)
 
         if self.immersed_boundary is not None:
             G = {k: self.immersed_boundary.mask_tendency(self, k, g_arr)

@@ -197,3 +197,33 @@ def test_implicit_free_surface_sees_immersed_depth():
     assert np.argmax(np.abs(eta_imp)) == np.argmax(np.abs(eta_exp))
     amp = np.abs(eta_imp).max() / np.abs(eta_exp).max()
     assert 0.85 < amp < 1.05, amp
+
+
+def test_immersed_boundary_condition_flux_budget():
+    """FieldBCs(immersed=FluxBC(q)) injects q through the immersed bottom
+    faces (reference immersed_boundary_condition.jl per-face fluxes):
+    the tracer budget gains exactly q·A_bottom·t."""
+    from clima_oceananigans_jl_tpu import FieldBCs, FluxBC, CENTER
+
+    Lx, Ly, H = 2.0, 3.0, 1.0
+    g = RectilinearGrid(size=(8, 8, 16), x=(0, Lx), y=(0, Ly), z=(-H, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    q = 0.7
+    model = NonhydrostaticModel(
+        g, tracers=("c",), advection=None,
+        immersed_boundary=GridFittedBottom(-0.5),  # flat bottom mid-depth
+        boundary_conditions={"c": FieldBCs(immersed=FluxBC(q))})
+    gi = model.grid
+    state = model.initial_state(c=1.0)
+    dt, n = jnp.float64(1e-2), 40
+    step = jax.jit(model.step)
+    for _ in range(n):
+        state = step(state, dt)
+    vol = np.asarray(jnp.broadcast_to(gi.V(CENTER), gi.total_shape))
+    fluid = ~np.asarray(gi.immersed.solid_ccc)
+    sl = tuple(slice(h, h + s) for h, s in zip(gi.halo, gi.shape))
+    total = (np.asarray(state["solution"]["c"]) * vol * fluid)[sl].sum()
+    total0 = 1.0 * Lx * Ly * 0.5          # fluid half-domain
+    expected = total0 + q * Lx * Ly * n * float(dt)
+    assert np.isclose(total, expected, rtol=1e-12), (total, expected)
