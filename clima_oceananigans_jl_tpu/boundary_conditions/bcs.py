@@ -35,20 +35,25 @@ from ..utils.location import C, F
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BC:
-    """One side's boundary condition. `kind` is static; `value` traces."""
+    """One side's boundary condition. `kind` is static; `value` traces.
+    ``discrete=True`` marks a field-dependent flux: ``value(grid, clock,
+    fields) -> full-shape flux array`` (the reference's
+    discrete_form/field_dependencies boundary functions, e.g. quadratic
+    bottom drag q = -Cd |u| u)."""
 
     kind: str  # periodic | value | gradient | flux | open | communication
     value: Any = None
+    discrete: bool = False
 
     def tree_flatten(self):
         if callable(self.value):
-            return (), (self.kind, self.value)
-        return (self.value,), (self.kind, None)
+            return (), (self.kind, self.value, self.discrete)
+        return (self.value,), (self.kind, None, self.discrete)
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
-        kind, fn = static
-        return cls(kind, fn if fn is not None else leaves[0])
+        kind, fn, discrete = static
+        return cls(kind, fn if fn is not None else leaves[0], discrete)
 
 
 def Periodic():
@@ -63,8 +68,8 @@ def GradientBC(g):
     return BC("gradient", g)
 
 
-def FluxBC(q=None):
-    return BC("flux", q)
+def FluxBC(q=None, discrete=False):
+    return BC("flux", q, discrete)
 
 
 def OpenBC(v=0.0):
@@ -325,15 +330,17 @@ def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
     return data
 
 
-def apply_immersed_flux_bcs(G, grid, loc, bcs, t=0.0):
+def apply_immersed_flux_bcs(G, grid, loc, bcs, t=0.0, fields=None):
     """Add a user flux through the IMMERSED bottom faces into the
     tendency (reference immersed_boundary_condition.jl — per-face user
     fluxes on the immersed boundary; here the bottom z-face of every
     fluid cell whose lower neighbour is solid, the GridFittedBottom
     surface). Sign convention matches a bottom FluxBC: positive flux
     adds to the field. Register as ``FieldBCs(immersed=FluxBC(q))``;
-    q may be a constant or ``q(x, y, z, t)`` evaluated at cell centers
-    along the boundary."""
+    q may be a constant, ``q(x, y, z, t)`` evaluated at cell centers
+    along the boundary, or (``FluxBC(fn, discrete=True)``)
+    ``fn(grid, t, fields)`` for field-dependent fluxes like bottom
+    drag."""
     bc = getattr(bcs, "immersed", None)
     imm = getattr(grid, "immersed", None)
     if bc is None or imm is None:
@@ -345,7 +352,9 @@ def apply_immersed_flux_bcs(G, grid, loc, bcs, t=0.0):
     # fluid cell whose k−1 neighbour is solid → its bottom face is the
     # immersed boundary
     at_bottom = (~solid) & jnp.roll(solid, 1, axis=2)
-    if callable(bc.value):
+    if bc.discrete and callable(bc.value):
+        q = jnp.asarray(bc.value(grid, t, fields or {}), G.dtype)
+    elif callable(bc.value):
         x, y, z = grid.nodes(loc, with_halo=True)
         q = jnp.asarray(bc.value(x, y, z, t), G.dtype)
     else:
@@ -354,7 +363,7 @@ def apply_immersed_flux_bcs(G, grid, loc, bcs, t=0.0):
     return jnp.where(at_bottom, G + contrib, G)
 
 
-def apply_flux_bcs(G, grid, loc, bcs, t=0.0):
+def apply_flux_bcs(G, grid, loc, bcs, t=0.0, fields=None):
     """Add boundary-flux divergences into the tendency G (interior-sized
     contribution at the first/last interior cell of each bounded axis)."""
     if bcs is None:
@@ -368,7 +377,13 @@ def apply_flux_bcs(G, grid, loc, bcs, t=0.0):
             continue
         N, H = grid.shape[axis], grid.halo[axis]
         i = H if side == 0 else H + N - 1
-        q = _bvalue(bc, grid, axis, side, loc, t)
+        if bc.discrete and callable(bc.value):
+            # field-dependent flux (reference discrete_form BCs): the
+            # function returns a full-shape array; take the boundary cell
+            qf = jnp.asarray(bc.value(grid, t, fields or {}), G.dtype)
+            q = qf[_axslice(qf, axis, i)]
+        else:
+            q = _bvalue(bc, grid, axis, side, loc, t)
         A = areas[axis](flip_loc(loc, axis))
         Vol = grid.V(loc)
         # pick the boundary-face metric / cell volume at the boundary cell

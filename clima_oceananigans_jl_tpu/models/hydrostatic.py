@@ -270,10 +270,11 @@ class HydrostaticFreeSurfaceModel:
             if name in self.forcing:
                 G[name] = G[name] + self.forcing[name](grid, clock, fields)
             G[name] = apply_flux_bcs(G[name], grid, locs[name],
-                                     self.bcs[name], clock.time)
+                                     self.bcs[name], clock.time, fields)
             if self.immersed_boundary is not None:
                 G[name] = apply_immersed_flux_bcs(G[name], grid, locs[name],
-                                                  self.bcs[name], clock.time)
+                                                  self.bcs[name], clock.time,
+                                                  fields)
         if self.immersed_boundary is not None:
             G = {k: self.immersed_boundary.mask_tendency(self, k, g_arr)
                  for k, g_arr in G.items()}

@@ -227,3 +227,36 @@ def test_immersed_boundary_condition_flux_budget():
     total0 = 1.0 * Lx * Ly * 0.5          # fluid half-domain
     expected = total0 + q * Lx * Ly * n * float(dt)
     assert np.isclose(total, expected, rtol=1e-12), (total, expected)
+
+
+def test_discrete_form_immersed_bottom_drag():
+    """FluxBC(fn, discrete=True): field-dependent flux through the
+    immersed bottom — linear bottom drag q = −r·u decays the
+    bottom-adjacent cell's momentum at exactly r/Δz (reference
+    discrete_form boundary functions + ImmersedBoundaryCondition)."""
+    from clima_oceananigans_jl_tpu import FieldBCs, FluxBC
+
+    H, r = 1.0, 0.05
+    g = RectilinearGrid(size=(4, 4, 16), x=(0, 1), y=(0, 1), z=(-H, 0),
+                        topology=(PERIODIC, PERIODIC, BOUNDED),
+                        dtype=jnp.float64)
+    drag = lambda grid, t, fields: -r * fields["u"]
+    model = NonhydrostaticModel(
+        g, advection=None, coriolis=None,
+        immersed_boundary=GridFittedBottom(-0.5),
+        boundary_conditions={"u": FieldBCs(immersed=FluxBC(drag,
+                                                           discrete=True))})
+    gi = model.grid
+    state = model.initial_state(u=0.3)
+    dz = H / 16
+    dt, n = jnp.float64(1e-2), 100
+    step = jax.jit(model.step)
+    for _ in range(n):
+        state = step(state, dt)
+    u = np.asarray(gi.interior(state["solution"]["u"])).mean((0, 1))
+    # the bottom fluid cell (k=8) decays ~exp(−r t/Δz); cells above are
+    # untouched (no viscosity)
+    t = n * float(dt)
+    assert abs(u[8] - 0.3 * np.exp(-r * t / dz)) < 0.01, u[8]
+    assert np.allclose(u[9:], 0.3, atol=1e-12)
+    assert np.allclose(u[:8], 0.0, atol=1e-12)  # solid cells masked
