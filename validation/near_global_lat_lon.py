@@ -62,6 +62,20 @@ def wind_stress(lam, phi, t):
     return -1e-4 * jnp.cos(3.0 * jnp.pi * phi / 180.0)
 
 
+# quadratic bottom drag through the immersed bathymetry (reference
+# near-global: u_immersed_bc = FluxBoundaryCondition(u_drag,
+# discrete_form=true); FluxBC(..., discrete=True) here)
+CD = 2.5e-3
+
+def u_drag(grid, t, fields):
+    sp = jnp.sqrt(fields["u"] ** 2 + fields["v"] ** 2)
+    return -CD * sp * fields["u"]
+
+def v_drag(grid, t, fields):
+    sp = jnp.sqrt(fields["u"] ** 2 + fields["v"] ** 2)
+    return -CD * sp * fields["v"]
+
+
 model = HydrostaticFreeSurfaceModel(
     grid=grid,
     free_surface=SplitExplicitFreeSurface(substeps=50),
@@ -70,7 +84,11 @@ model = HydrostaticFreeSurfaceModel(
     closure=ScalarDiffusivity(nu=1e4, kappa=1e3, nu_z=1e-3, kappa_z=1e-4,
                               time_discretization="vertically_implicit"),
     immersed_boundary=GridFittedBottom(bathymetry),
-    boundary_conditions={"u": FieldBCs(top=FluxBC(wind_stress))})
+    boundary_conditions={
+        "u": FieldBCs(top=FluxBC(wind_stress),
+                      immersed=FluxBC(u_drag, discrete=True)),
+        "v": FieldBCs(immersed=FluxBC(v_drag, discrete=True)),
+    })
 state = model.initial_state(
     b=lambda lam, phi, z: 2e-5 * (z + 3000.0) / 3000.0
     + 1e-6 * jnp.cos(jnp.pi * phi / 180.0))
