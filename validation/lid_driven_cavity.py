@@ -41,6 +41,8 @@ grid = RectilinearGrid(size=(N, 1, N), x=(0.0, 1.0), y=(0.0, 1.0),
                        dtype=jnp.float64)
 model = NonhydrostaticModel(
     grid, advection=WENO5(), closure=ScalarDiffusivity(nu=nu),
+    timestepper="RungeKutta3",  # AB2's real-axis stability (λΔt<1) sits
+                                # exactly at the diffusive limit at N=64
     boundary_conditions={
         # moving lid: u = 1 at the top wall; no-slip elsewhere
         "u": FieldBCs(top=ValueBC(1.0), bottom=ValueBC(0.0)),
