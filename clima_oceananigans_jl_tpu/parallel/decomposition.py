@@ -39,35 +39,49 @@ def partition_grid(grid, mesh_shape):
 
     `stacked_grid` carries per-shard leaf arrays assembled so that
     shard_map in_specs = `grid_specs` deliver each device its local grid.
+    ImmersedGrids partition their parent and slice the per-shard solid
+    masks / partial-cell metrics (the reference's distributed immersed
+    grids carry per-rank bathymetry the same way).
     """
+    from ..immersed.immersed import ImmersedGrid
+    imm = grid if isinstance(grid, ImmersedGrid) else None
+    grid_p = grid.parent if imm is not None else grid
+
     Rx, Ry = mesh_shape
-    if grid.Nx % max(Rx, 1) or grid.Ny % max(Ry, 1):
-        raise ValueError(f"grid {grid.shape} not divisible by mesh {mesh_shape}")
-    nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
-    dist = (("x", Rx, grid.topology[0]) if Rx > 1 else None,
-            ("y", Ry, grid.topology[1]) if Ry > 1 else None,
+    if grid_p.Nx % max(Rx, 1) or grid_p.Ny % max(Ry, 1):
+        raise ValueError(f"grid {grid_p.shape} not divisible by mesh {mesh_shape}")
+    nxl, nyl = grid_p.Nx // Rx, grid_p.Ny // Ry
+    dist = (("x", Rx, grid_p.topology[0]) if Rx > 1 else None,
+            ("y", Ry, grid_p.topology[1]) if Ry > 1 else None,
             None)
 
     def local(i, j):
-        new = object.__new__(type(grid))
-        new.dtype = grid.dtype
+        new = object.__new__(type(grid_p))
+        new.dtype = grid_p.dtype
         new.dist = dist
         new._axes = (
-            _slice_axis(grid._axes[0], i, nxl, "x", Rx),
-            _slice_axis(grid._axes[1], j, nyl, "y", Ry),
-            grid._axes[2],
+            _slice_axis(grid_p._axes[0], i, nxl, "x", Rx),
+            _slice_axis(grid_p._axes[1], j, nyl, "y", Ry),
+            grid_p._axes[2],
         )
         new._init_static()
-        if isinstance(grid, LatitudeLongitudeGrid):
-            new.radius = grid.radius
-            sx = slice(i * nxl, i * nxl + nxl + 2 * grid.Hx)
-            sy = slice(j * nyl, j * nyl + nyl + 2 * grid.Hy)
+        if isinstance(grid_p, LatitudeLongitudeGrid):
+            new.radius = grid_p.radius
+            sx = slice(i * nxl, i * nxl + nxl + 2 * grid_p.Hx)
+            sy = slice(j * nyl, j * nyl + nyl + 2 * grid_p.Hy)
             pick = lambda m: {k: (v[sx if v.shape[0] > 1 else slice(None),
                                     sy if v.shape[1] > 1 else slice(None)])
                               for k, v in m.items()}
-            new._dx_m = pick(grid._dx_m)
-            new._az_m = pick(grid._az_m)
-            new._dy_m = {k: v[:, sy] for k, v in grid._dy_m.items()}
+            new._dx_m = pick(grid_p._dx_m)
+            new._az_m = pick(grid_p._az_m)
+            new._dy_m = {k: v[:, sy] for k, v in grid_p._dy_m.items()}
+        if imm is not None:
+            sx = slice(i * nxl, i * nxl + nxl + 2 * grid_p.Hx)
+            sy = slice(j * nyl, j * nyl + nyl + 2 * grid_p.Hy)
+            bl, btd = jax.tree_util.tree_flatten(imm.boundary)
+            b_loc = jax.tree_util.tree_unflatten(
+                btd, [l[sx, sy, :] for l in bl])
+            return ImmersedGrid.wrap(new, b_loc)
         return new
 
     template = local(0, 0)

@@ -57,6 +57,8 @@ class DistributedModel:
          self.local_grid) = partition_grid(model.grid, self.mesh_shape)
         self.local_model = copy.copy(model)
         self.local_model.grid = self.local_grid
+        if getattr(self.local_grid, "immersed", None) is not None:
+            self.local_model.immersed_boundary = self.local_grid.immersed
         if overlap_halo:
             if not hasattr(model, "tendencies_overlapped"):
                 raise ValueError("overlap_halo: model has no "
@@ -84,6 +86,9 @@ class DistributedModel:
         def _local_step(grid, state, dt):
             m = copy.copy(local_model)
             m.grid = grid
+            if getattr(grid, "immersed", None) is not None:
+                # per-shard solid masks ride the partitioned grid
+                m.immersed_boundary = grid.immersed
             return m.step(state, dt)
 
         self._sharded_step = None

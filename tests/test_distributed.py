@@ -362,3 +362,40 @@ def test_distributed_split_explicit_matches_single_device():
     a = np.asarray(s_single["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     b = np.asarray(s_dist["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     assert np.allclose(a, b, atol=1e-12)
+
+
+@needs8
+def test_distributed_immersed_matches_single_device():
+    """Immersed (GridFittedBottom) grids partition with per-shard solid
+    masks (the reference's distributed immersed grids carry per-rank
+    bathymetry); the sharded step is bit-exact vs single device."""
+    from clima_oceananigans_jl_tpu import GridFittedBottom
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    bump = lambda x, y: -1.0 + 0.4 * jnp.exp(
+        -((x - 0.5) ** 2 + (y - 0.5) ** 2) / 0.02)
+    model = NonhydrostaticModel(grid, tracers=("c",),
+                                immersed_boundary=GridFittedBottom(bump))
+    state0 = model.initial_state(
+        u=1e-2, c=lambda x, y, z: jnp.exp(-((x - 0.3) ** 2
+                                            + (z + 0.5) ** 2) / 0.05))
+    dt = jnp.float64(1e-3)
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(3):
+        s_single = step(s_single, dt)
+
+    mesh = make_mesh((2, 2))
+    dmodel = DistributedModel(model, mesh)
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(3):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(model.grid.interior(s_single["solution"][name]))
+        b = np.asarray(model.grid.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-12), name

@@ -210,3 +210,34 @@ def test_implicit_free_surface_stencil_methods_match_pcg(method):
     a = np.asarray(results["pcg"]["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     b = np.asarray(results[method]["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     assert np.allclose(a, b, atol=1e-9)
+
+
+@pytest.mark.parametrize("method", ["matrix", "multigrid"])
+def test_stencil_free_surface_methods_on_latlon(method):
+    """'matrix' and 'multigrid' implicit-η solves on the CURVILINEAR
+    lat-lon grid (variable Δx(φ) couplings) agree with PCG."""
+    from clima_oceananigans_jl_tpu.grids.latlon import LatitudeLongitudeGrid
+    from clima_oceananigans_jl_tpu.models.free_surface import ImplicitFreeSurface
+    from clima_oceananigans_jl_tpu.models.hydrostatic import (
+        HydrostaticFreeSurfaceModel)
+    from clima_oceananigans_jl_tpu.coriolis.coriolis import (
+        HydrostaticSphericalCoriolis)
+
+    grid = LatitudeLongitudeGrid(size=(32, 16, 4), longitude=(0, 360),
+                                 latitude=(-60, 60), z=(-1000.0, 0.0),
+                                 dtype=jnp.float64)
+    res = {}
+    for m in ("pcg", method):
+        model = HydrostaticFreeSurfaceModel(
+            grid=grid, coriolis=HydrostaticSphericalCoriolis(),
+            free_surface=ImplicitFreeSurface(solver_method=m,
+                                             tolerance=1e-12, maxiter=800))
+        state = model.initial_state(
+            eta=lambda lam, phi: 0.1 * jnp.sin(jnp.radians(2 * lam))
+            * jnp.cos(jnp.radians(3 * phi)))
+        step = jax.jit(model.step)
+        for _ in range(3):
+            state = step(state, jnp.float64(600.0))
+        g = model.grid
+        res[m] = np.asarray(state["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    assert np.abs(res[method] - res["pcg"]).max() < 1e-10
