@@ -399,3 +399,57 @@ def test_distributed_immersed_matches_single_device():
         a = np.asarray(model.grid.interior(s_single["solution"][name]))
         b = np.asarray(model.grid.interior(s_dist["solution"][name]))
         assert np.allclose(a, b, atol=1e-12), name
+
+
+@needs8
+def test_distributed_near_global_flagship_config():
+    """Capstone: the full near-global stack — lat-lon grid, immersed
+    bathymetry, split-explicit free surface, spherical Coriolis, wind
+    stress, vertically-implicit diffusion — distributed over a (2,2)
+    mesh, bit-exact vs single device."""
+    from clima_oceananigans_jl_tpu import FluxBC, GridFittedBottom, ScalarDiffusivity
+    from clima_oceananigans_jl_tpu.grids.latlon import LatitudeLongitudeGrid
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        SplitExplicitFreeSurface)
+    from clima_oceananigans_jl_tpu.coriolis.coriolis import (
+        HydrostaticSphericalCoriolis)
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu.boundary_conditions.bcs import FieldBCs
+
+    grid = LatitudeLongitudeGrid(size=(48, 24, 8), longitude=(0, 360),
+                                 latitude=(-60, 60), z=(-3000.0, 0.0),
+                                 dtype=jnp.float64)
+    bathy = lambda lam, phi: jnp.where(
+        (lam > 170) & (lam < 190), 100.0,
+        -3000.0 + 800.0 * jnp.exp(-((lam - 60) / 15.0) ** 2))
+    wind = lambda lam, phi, t: -1e-4 * jnp.cos(3.0 * jnp.pi * phi / 180.0)
+    model = HydrostaticFreeSurfaceModel(
+        grid=grid, free_surface=SplitExplicitFreeSurface(substeps=12),
+        coriolis=HydrostaticSphericalCoriolis(), buoyancy=BuoyancyTracer(),
+        closure=ScalarDiffusivity(nu=1e4, kappa=1e3, nu_z=1e-3, kappa_z=1e-4,
+                                  time_discretization="vertically_implicit"),
+        immersed_boundary=GridFittedBottom(bathy),
+        boundary_conditions={"u": FieldBCs(top=FluxBC(wind))})
+    state0 = model.initial_state(
+        b=lambda lam, phi, z: 2e-5 * (z + 3000.0) / 3000.0)
+    dt = jnp.float64(600.0)
+
+    step = jax.jit(model.step)
+    s_single = state0
+    for _ in range(3):
+        s_single = step(s_single, dt)
+
+    dmodel = DistributedModel(model, make_mesh((2, 2)))
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(3):
+        s_dist = dmodel.step(s_dist, dt)
+    s_dist = dmodel.gather_state(s_dist)
+
+    g = model.grid
+    for name in ("u", "v", "b"):
+        a = np.asarray(g.interior(s_single["solution"][name]))
+        b = np.asarray(g.interior(s_dist["solution"][name]))
+        assert np.allclose(a, b, atol=1e-14), name
+    a = np.asarray(s_single["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    b = np.asarray(s_dist["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
+    assert np.allclose(a, b, atol=1e-14)
