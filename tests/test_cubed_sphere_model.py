@@ -102,3 +102,47 @@ def test_multilevel_step_with_tracer_jits():
     state = jax.jit(model.step)(state, 50.0)
     for arr in (state["solution"]["u"], state["solution"]["c"], state["eta"]):
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_cubed_sphere_faces_shard_over_devices():
+    """Multi-device cubed sphere: the (6, X, Y, Z) face axis shards over a
+    6-device mesh under plain jit — GSPMD inserts the inter-face gather
+    collectives for the halo exchange (the TPU analog of the reference's
+    MultiRegion cubed sphere, one face per GPU); bit-identical to the
+    single-device step and the output stays face-sharded."""
+    import pytest
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    N = 16
+    g = CubedSphereGrid(size=(N, N, 1), radius=R_E, dtype=jnp.float64, halo=3)
+    model = CubedSphereHydrostaticModel(g, tracers=("c",), depth=1000.0)
+    U0 = 38.0
+
+    def vel(p):
+        n = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        return np.cross([0.0, 0.0, U0], n)
+
+    state = model.initial_state(
+        u=vel,
+        eta=lambda p: -0.5 * (p[..., 2] / np.linalg.norm(p, axis=-1)) ** 2,
+        c=lambda p: p[..., 0] / np.linalg.norm(p, axis=-1))
+    dt = jnp.float64(50.0)
+    step = jax.jit(model.step)
+    s1 = state
+    for _ in range(3):
+        s1 = step(s1, dt)
+
+    mesh = Mesh(np.array(jax.devices()[:6]), ("f",))
+    shard = lambda x: (jax.device_put(x, NamedSharding(mesh, P("f")))
+                       if getattr(x, "ndim", 0) >= 3 and x.shape[0] == 6 else x)
+    s2 = jax.tree_util.tree_map(shard, state)
+    for _ in range(3):
+        s2 = jax.jit(model.step)(s2, dt)
+
+    for n in ("u", "v", "c"):
+        a = np.asarray(s1["solution"][n])
+        b = np.asarray(s2["solution"][n])
+        assert np.allclose(a, b, atol=1e-12), n
+    assert "f" in str(s2["solution"]["u"].sharding)
