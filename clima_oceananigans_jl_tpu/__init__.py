@@ -22,6 +22,7 @@ from .fields.field import (
 from .advection.schemes import (
     CenteredSecondOrder, CenteredFourthOrder, UpwindBiasedFirstOrder,
     UpwindBiasedThirdOrder, UpwindBiasedFifthOrder, WENO5,
+    PositiveWENO5,
 )
 from .coriolis.coriolis import (
     FPlane, BetaPlane, ConstantCartesianCoriolis, NonTraditionalBetaPlane,

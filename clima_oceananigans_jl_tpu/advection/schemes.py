@@ -334,7 +334,8 @@ class BoundsPreservingWENO5(WENO5):
     (positivity_preserving_tracer_advection_operators.jl). This limits
     reconstruction overshoot and is bounds-preserving under a CFL
     restriction; it does not limit the fluxes themselves, so global
-    [m, M] bounds are not strictly guaranteed at large CFL."""
+    [m, M] bounds are not strictly guaranteed at large CFL — use
+    PositiveWENO5 for the reference's strict flux-level guarantee."""
 
     def _clip(self, rec, c, axis, to_f):
         if to_f:
@@ -364,6 +365,42 @@ class BoundsPreservingWENO5(WENO5):
     def left_right_to_c(self, u, axis):
         l, r = super().left_right_to_c(u, axis)
         return (self._clip(l, u, axis, False), self._clip(r, u, axis, False))
+
+
+@dataclasses.dataclass(frozen=True)
+class PositiveWENO5(WENO5):
+    """WENO5 with the reference's FLUX-LEVEL bound-preserving limiter
+    (PositiveWENO, positivity_preserving_tracer_advection_operators.jl:
+    the Zhang-Shu limiter). Per cell and per axis, the cell's two OUTWARD
+    face reconstructions are scaled toward the cell mean by
+
+        θ = min(|hi − c|/|M − c|, |lo − c|/|m − c|, 1),
+        M/m = max/min(p̃, c₊ᴸ, c₋ᴿ),  p̃ = (c − ω̂(c₋ᴿ + c₊ᴸ))/(1 − 2ω̂),
+
+    ω̂ = 5/18 (the Gauss-Lobatto end weight), which keeps the
+    divergence-form tracer update inside ``bounds`` under the scheme's
+    CFL restriction — a strictly stronger guarantee than the
+    reconstruction clip of BoundsPreservingWENO5."""
+
+    bounds: tuple = (0.0, float("inf"))
+
+    def limit_lr(self, c, L, R, axis):
+        """(L, R) at faces → bound-preserving (L, R). ``L[i]`` is cell
+        i−1's outward (rightgoing) reconstruction, ``R[i]`` is cell i's
+        outward (leftgoing) one."""
+        omega = 5.0 / 18.0
+        eps = 1e-20
+        lo, hi = self.bounds
+        Lp1 = shift(L, 1, axis)    # cell i's outward value at face i+1
+        p = (c - omega * (R + Lp1)) / (1.0 - 2.0 * omega)
+        M = jnp.maximum(jnp.maximum(p, Lp1), R)
+        m = jnp.minimum(jnp.minimum(p, Lp1), R)
+        theta = jnp.minimum(jnp.abs((hi - c) / (M - c + eps)),
+                            jnp.abs((lo - c) / (m - c + eps)))
+        theta = jnp.minimum(theta, 1.0)
+        Lp1_lim = theta * (Lp1 - c) + c
+        R_lim = theta * (R - c) + c
+        return shift(Lp1_lim, -1, axis), R_lim
 
 
 def upwind_biased_product(vel, left, right):
@@ -493,4 +530,7 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
         R1 = c if to_f else shift(c, 1, axis)
         L = jnp.where(clear, L, L1)
         R = jnp.where(clear, R, R1)
+    if isinstance(scheme, PositiveWENO5) and to_f:
+        # flux-level Zhang-Shu limiting (applies to cell-centered tracers)
+        L, R = scheme.limit_lr(c, L, R, axis)
     return upwind_biased_product(vel, L, R)
