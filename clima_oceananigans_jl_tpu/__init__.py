@@ -23,6 +23,7 @@ from .advection.schemes import (
     CenteredSecondOrder, CenteredFourthOrder, UpwindBiasedFirstOrder,
     UpwindBiasedThirdOrder, UpwindBiasedFifthOrder, WENO5,
     PositiveWENO5,
+    BoundsPreservingWENO5,
 )
 from .coriolis.coriolis import (
     FPlane, BetaPlane, ConstantCartesianCoriolis, NonTraditionalBetaPlane,
