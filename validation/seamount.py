@@ -20,7 +20,7 @@ from clima_oceananigans_jl_tpu import (
 )
 from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
 from clima_oceananigans_jl_tpu.advection.schemes import (
-    BoundsPreservingWENO5, WENO5)
+    PositiveWENO5, WENO5)
 from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
 from clima_oceananigans_jl_tpu.closures.scalar_diffusivity import ScalarDiffusivity
 from clima_oceananigans_jl_tpu.immersed.immersed import GridFittedBottom
@@ -38,7 +38,8 @@ grid = RectilinearGrid(size=(N, 1, N // 2), x=(0.0, Lx), y=(0.0, 1.0),
                        z=(-Lz, 0.0), topology=(PERIODIC, FLAT, BOUNDED),
                        dtype=jnp.float64)
 model = NonhydrostaticModel(
-    grid, advection=WENO5(), tracer_advection=BoundsPreservingWENO5(),
+    grid, advection=WENO5(),
+    tracer_advection=PositiveWENO5(bounds=(0.0, 1.0)),
     tracers=("c",), buoyancy=BuoyancyTracer(),
     closure=ScalarDiffusivity(nu=1e-3, kappa=1e-4),
     immersed_boundary=GridFittedBottom(seamount))
@@ -80,9 +81,9 @@ print(f"max |c| inside solid: {solid_c:.2e}")
 print(f"tracer range: [{cmin:+.3e}, {cmax:.4f}] (initial [{cmin0:.1e}, {cmax0:.4f}])")
 assert drift < 1e-3, drift
 assert solid_c < 1e-10, solid_c
-# near-boundary biased reconstructions drop to 1st-order upwind
-# (monotone), so the tracer stays essentially inside its initial bounds
-assert cmax < cmax0 * 1.02 and cmin > -1e-2 * cmax0, (cmin, cmax)
+# near-boundary biased reconstructions drop to 1st-order upwind and the
+# Zhang-Shu flux limiter guarantees the [0, 1] bounds under the CFL
+assert cmax < 1.0 + 1e-9 and cmin > -1e-9, (cmin, cmax)
 sol = state["solution"]
 assert all(bool(jnp.all(jnp.isfinite(v))) for v in sol.values())
 print("PASS: seamount flow conserves tracer with no spurious transport")
