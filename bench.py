@@ -9,26 +9,42 @@ tendency evaluation + one FFT projection per step), FP32; compared
 against the reference's FP32 anchor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Structure: this script supervises itself. The parent process spawns the
+actual measurement as a child subprocess (BENCH_CHILD=1) under a timeout
+and retries with backoff — the axon TPU relay sometimes wedges at device
+init (new processes hang with empty output), and a single-shot bench
+loses the round's number (see VERDICT round 2 item 1). Only the exact
+child process group the parent spawned is ever killed.
 """
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from clima_oceananigans_jl_tpu import PERIODIC, BOUNDED, RectilinearGrid, WENO5
-from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
-from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
 
 REFERENCE_PTS_PER_S = 432e6  # V100 FP32, docs/src/appendix/benchmarks.md:124
 
-N = 256
-STEPS = 20
+N = int(os.environ.get("BENCH_N", "256"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+# Supervisor knobs (env-tunable).
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
+WALL_BUDGET_S = int(os.environ.get("BENCH_WALL_BUDGET", "1800"))
+RETRY_SLEEP_S = int(os.environ.get("BENCH_RETRY_SLEEP", "90"))
 
 
-def main():
+def measure() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clima_oceananigans_jl_tpu import PERIODIC, BOUNDED, RectilinearGrid, WENO5
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+
     grid = RectilinearGrid(size=(N, N, N), extent=(1.0, 1.0, 1.0),
                            topology=(PERIODIC, PERIODIC, BOUNDED),
                            dtype=jnp.float32)
@@ -61,12 +77,77 @@ def main():
     per_step = elapsed / STEPS
     pts_per_s = N ** 3 / per_step
     print(json.dumps({
-        "metric": "grid-points/s/chip (256^3 nonhydrostatic WENO5 AB2, fp32)",
+        "metric": f"grid-points/s/chip ({N}^3 nonhydrostatic WENO5 AB2, fp32)",
         "value": round(pts_per_s),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / REFERENCE_PTS_PER_S, 3),
     }))
 
 
+def _extract_json_line(text: str) -> str | None:
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj and "value" in obj:
+                return line
+    return None
+
+
+def supervise() -> int:
+    deadline = time.monotonic() + WALL_BUDGET_S
+    env = dict(os.environ, BENCH_CHILD="1")
+    attempt = 0
+    best: str | None = None
+    while time.monotonic() < deadline:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        timeout = max(min(ATTEMPT_TIMEOUT_S, remaining),
+                      min(60, ATTEMPT_TIMEOUT_S))
+        print(f"[bench supervisor] attempt {attempt} "
+              f"(timeout {timeout:.0f}s)", file=sys.stderr)
+        child = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, start_new_session=True,
+        )
+        try:
+            out, _ = child.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            # Kill exactly the process group we created (never by pattern).
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            out, _ = child.communicate()
+            print(f"[bench supervisor] attempt {attempt} timed out; "
+                  f"relay may be wedged", file=sys.stderr)
+        else:
+            line = _extract_json_line(out or "")
+            if child.returncode == 0 and line:
+                print(line)
+                return 0
+            if line:
+                best = line  # JSON printed but nonzero exit — keep as fallback
+            tail = "\n".join((out or "").splitlines()[-8:])
+            print(f"[bench supervisor] attempt {attempt} rc="
+                  f"{child.returncode}\n{tail}", file=sys.stderr)
+        if time.monotonic() + RETRY_SLEEP_S >= deadline:
+            break
+        time.sleep(RETRY_SLEEP_S)
+    if best:
+        print(best)
+        return 0
+    print("[bench supervisor] no successful measurement within budget",
+          file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        measure()
+    else:
+        sys.exit(supervise())
