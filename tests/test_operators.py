@@ -110,3 +110,26 @@ def test_interp_to_moves_location():
     got = np.asarray(g.interior(out))
     assert np.allclose(got, np.broadcast_to(expected, g.total_shape)[
         g.Hx:g.Hx + 8, g.Hy:g.Hy + 8, g.Hz:g.Hz + 8], atol=1e-12)
+
+
+def test_upwind_select_matches_two_sided_blend_bitwise():
+    """transport()'s select-first upwinding (one sign-selected
+    reconstruction) must reproduce the two-sided blend
+    ((vel+|vel|)L + (vel−|vel|)R)/2 BIT-FOR-BIT — the IEEE identity the
+    fused kernels' FLOP cut relies on (advection/schemes.py
+    stream_reconstruct)."""
+    from clima_oceananigans_jl_tpu.advection.schemes import (
+        WENO5, BoundsPreservingWENO5, transport, upwind_biased_product)
+    rng = np.random.default_rng(7)
+    for dtype in (jnp.float64, jnp.float32):
+        c = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        vel = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        for sch in (WENO5(), BoundsPreservingWENO5()):
+            for axis in (0, 1, 2):
+                for to_f in (True, False):
+                    new = transport(sch, vel, c, axis, to_f)
+                    L, R = (sch.left_right_to_f(c, axis) if to_f
+                            else sch.left_right_to_c(c, axis))
+                    old = upwind_biased_product(vel, L, R)
+                    assert np.array_equal(np.asarray(new), np.asarray(old)), (
+                        dtype, type(sch).__name__, axis, to_f)
