@@ -116,6 +116,8 @@ class NonhydrostaticModel:
         for n in self.tracer_names:
             self.bcs[n] = regularize_bcs(self.grid, CENTER, user_bcs.get(n))
         self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
+        from ..ops.fused_step import fused_step_ok
+        self.fused_step = fused_step_ok(self)
 
     # -- pytree ---------------------------------------------------------------
     def tree_flatten(self):
@@ -126,7 +128,8 @@ class NonhydrostaticModel:
         fk = tuple(sorted(self.forcing))
         static = (self.advection, self.tracer_advection, self.tracer_names,
                   self.timestepper, self.ab2_chi,
-                  fk, tuple(self.forcing[k] for k in fk), self.fused_advection)
+                  fk, tuple(self.forcing[k] for k in fk), self.fused_advection,
+                  self.fused_step)
         return leaves, static
 
     @classmethod
@@ -137,7 +140,8 @@ class NonhydrostaticModel:
          obj.background_fields, obj.immersed_boundary,
          obj.particles) = leaves
         (obj.advection, obj.tracer_advection, obj.tracer_names,
-         obj.timestepper, obj.ab2_chi, fk, fv, obj.fused_advection) = static
+         obj.timestepper, obj.ab2_chi, fk, fv, obj.fused_advection,
+         obj.fused_step) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -526,10 +530,17 @@ class NonhydrostaticModel:
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
         if getattr(self, "halo_overlap", False):
             G, state = self.tendencies_overlapped(state)
+            sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
+                              self.ab2_chi, euler)
+        elif self.fused_step:
+            # tendencies + AB2 substep in one Pallas pass (closure is
+            # None by the fused_step gate, so implicit_step is a no-op)
+            from ..ops.fused_step import fused_ab2_advance
+            sol, G = fused_ab2_advance(self, state, dt, euler)
         else:
             G = self.tendencies(state)
-        sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
-                          self.ab2_chi, euler)
+            sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
+                              self.ab2_chi, euler)
         sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure,
                                    dt, state.get("diffusivities"),
                                    self.bcs, clock0.time)

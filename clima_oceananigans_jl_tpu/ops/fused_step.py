@@ -1,0 +1,161 @@
+"""Fused AB2 advance: tendencies + hydrostatic-pressure gradient + AB2
+substep in ONE Pallas pass.
+
+The quasi-AB2 step of the nonhydrostatic model (reference
+time_step.jl + quasi_adams_bashforth_2.jl:70-104) is, per prognostic
+field: G = −∇·(v ψ) [− ∂pHY′]  then  ψ′ = ψ + Δt((3/2+χ)G − (1/2+χ)G⁻).
+Run separately (fused_advective_tendencies → XLA substep pass) the
+substep re-reads ψ, G, G⁻ and re-writes ψ′, G⁻ from HBM — ~1.4 GB of
+pure streaming at 256³ fp32. Here the substep happens on the VMEM
+blocks while they are still resident: the kernel reads (u, v, w,
+tracers, pHY, G_prev…) windows once and writes (ψ′…, G…) interiors.
+
+Results are identical to the separate path (same flux functions on the
+same ConstMetricGrid, same substep expression tree; equivalence test in
+tests/test_fused_tendencies.py). Scalars (Δt and the χ/Euler-selected
+AB2 coefficients) ride SMEM refs so the whole step stays one traced jit.
+
+Gating (`fused_step_ok`): the terms that live OUTSIDE the kernel in the
+general model (coriolis, closures, forcings, Stokes drift, background
+fields, boundary fluxes, immersed masking) must be absent; buoyancy must
+point straight down so its only momentum contribution is the pHY′
+gradient (reference update_hydrostatic_pressure.jl cancellation).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.location import CENTER, U_LOC, V_LOC, W_LOC
+from .fused_tendencies import (ConstMetricGrid, _COMPILER_PARAMS, _fast_div,
+                               _tile_sizes)
+from . import stencil as st
+
+
+def fused_step_ok(model):
+    """Static check: every tendency term of this model configuration is
+    expressible inside the fused kernel (see module docstring)."""
+    if not model.fused_advection:
+        return False
+    if model.timestepper != "QuasiAdamsBashforth2":
+        return False
+    if (model.closure is not None or model.coriolis is not None
+            or model.stokes_drift is not None or model.forcing
+            or model.background_fields or model.immersed_boundary is not None
+            or model.particles is not None):
+        return False
+    b = model.buoyancy
+    if b is not None and tuple(b.gravity_unit_vector) != (0.0, 0.0, -1.0):
+        return False
+    if getattr(model.grid, "dist", (None, None, None)) != (None, None, None):
+        return False
+    for name in model.prognostic_names():
+        for _axis, _side, bc in model.bcs[name].sides():
+            if bc is not None and bc.kind == "flux" and bc.value is not None:
+                return False
+    return True
+
+
+def fused_ab2_advance(model, state, dt, euler, interpret=None):
+    """One fused pass: returns (sol_new, G) as with-halo arrays (x/y halo
+    regions zeroed — the caller's update_state refills them).
+    Bit-compatible with tendencies() + ab2_substep() on the interior."""
+    from ..advection.schemes import reduced_order_masks
+    from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    grid = model.grid
+    scheme = model.advection
+    tracer_scheme = model.tracer_advection
+    sol = state["solution"]
+    G_prev = state["G_prev"]
+    names = model.tracer_names
+    nfields = 3 + len(names)
+
+    nx, ny, nz = grid.shape
+    hx, hy, hz = grid.halo
+    zt = nz + 2 * hz
+    ax = grid._axes
+    rmasks = {}
+    for sch in (scheme, tracer_scheme):
+        m = reduced_order_masks(grid, 2, sch)
+        if m is not None:
+            rmasks[(2, sch.required_halo)] = m
+    cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
+                         float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
+                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
+                         reduced_masks=rmasks or None)
+
+    has_ph = model.buoyancy is not None and "pHY" in state
+    dxu = cg.dx(U_LOC)
+    dyv = cg.dy(V_LOC)
+
+    # AB2 coefficients, exactly as timesteppers.ab2_substep builds them
+    chi = jnp.where(euler, -0.5, jnp.asarray(model.ab2_chi, grid.dtype))
+    c1 = (1.5 + chi).astype(grid.dtype).reshape(1, 1)
+    c2 = (0.5 + chi).astype(grid.dtype).reshape(1, 1)
+    dts = jnp.asarray(dt, grid.dtype).reshape(1, 1)
+
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=sol["u"].dtype.itemsize,
+                         budget_bytes=int(12_000_000 / max(4, nfields)))
+
+    field_names = ("u", "v", "w") + tuple(names)
+
+    def kernel(c1_ref, c2_ref, dt_ref, *refs):
+        prog = refs[:nfields]
+        ph_b = refs[nfields][:] if has_ph else None
+        gp = refs[nfields + int(has_ph): nfields + int(has_ph) + nfields]
+        outs = refs[nfields + int(has_ph) + nfields:]
+        ub, vb, wb = prog[0][:], prog[1][:], prog[2][:]
+        sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
+              slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
+              slice(None))
+        c1s, c2s, dtv = c1_ref[0, 0], c2_ref[0, 0], dt_ref[0, 0]
+        with _fast_div():
+            G = [-div_vu(cg, scheme, ub, vb, wb),
+                 -div_vv(cg, scheme, ub, vb, wb),
+                 -div_vw(cg, scheme, ub, vb, wb)]
+            if has_ph:
+                G[0] = G[0] - st.dxf(ph_b) / dxu
+                G[1] = G[1] - st.dyf(ph_b) / dyv
+            for k in range(len(names)):
+                G.append(-div_Uc(cg, tracer_scheme, ub, vb, wb,
+                                 prog[3 + k][:]))
+        for k in range(nfields):
+            g_int = G[k][sl]
+            outs[k][:] = prog[k][:][sl] + dtv * (c1s * g_int
+                                                 - c2s * gp[k][:][sl])
+            outs[nfields + k][:] = g_int
+
+    win = pl.BlockSpec(
+        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
+        lambda i, j: (i * tx, j * ty, 0))
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nx, ny, zt), sol["u"].dtype)
+
+    inputs = [sol[n] for n in field_names]
+    if has_ph:
+        inputs.append(state["pHY"])
+    inputs += [G_prev[n] for n in field_names]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nx // tx, ny // ty),
+        in_specs=[smem] * 3 + [win] * len(inputs),
+        out_specs=[out_spec] * (2 * nfields),
+        out_shape=[out_shape] * (2 * nfields),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(c1, c2, dts, *inputs)
+
+    pad = ((hx, hx), (hy, hy), (0, 0))
+    sol_new = {n: jnp.pad(outs[k], pad) for k, n in enumerate(field_names)}
+    G = {n: jnp.pad(outs[nfields + k], pad)
+         for k, n in enumerate(field_names)}
+    return sol_new, G

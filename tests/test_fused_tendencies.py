@@ -102,3 +102,38 @@ def test_fused_shallow_water_ytiled_matches_jnp():
         a = np.asarray(model.grid.interior(G_f[name]))
         b = np.asarray(model.grid.interior(G_j[name]))
         assert np.allclose(a, b, atol=1e-12), name
+
+
+def test_fused_ab2_step_matches_plain_path_bitwise():
+    """The fused AB2 advance (tendencies + pHY' gradient + substep in one
+    Pallas pass, ops/fused_step.py) must reproduce the plain
+    tendencies() → ab2_substep() step on the interior — including the
+    Euler first step and the AB2 history — over several steps."""
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+
+    n = 16
+    sols = {}
+    for fused in (True, False):
+        grid = RectilinearGrid(size=(n, n, n), extent=(1., 1., 1.),
+                               topology=(PERIODIC, PERIODIC, BOUNDED),
+                               dtype=jnp.float64)
+        m = NonhydrostaticModel(grid, advection=WENO5(),
+                                buoyancy=BuoyancyTracer(),
+                                timestepper="QuasiAdamsBashforth2",
+                                fused_advection=fused)
+        assert m.fused_step == fused
+        key = jax.random.PRNGKey(0)
+        ku, kv, kb = jax.random.split(key, 3)
+        s = m.initial_state(
+            u=1e-2 * jax.random.normal(ku, grid.shape, grid.dtype),
+            v=1e-2 * jax.random.normal(kv, grid.shape, grid.dtype),
+            b=1e-4 * jax.random.normal(kb, grid.shape, grid.dtype))
+        step = jax.jit(m.step)
+        for _ in range(3):
+            s = step(s, jnp.float64(1e-3))
+        sols[fused] = {k: np.asarray(m.grid.interior(v))
+                       for k, v in s["solution"].items()}
+    for k in sols[True]:
+        assert np.array_equal(sols[True][k], sols[False][k]), k
