@@ -288,10 +288,12 @@ class NonhydrostaticModel:
 
         fused_adv = None
         if self.fused_advection:
-            from ..ops.fused_tendencies import fused_advective_tendencies
+            from ..ops.fused_tendencies import (fused_advective_tendencies,
+                                                z_halo_free_ok)
             fused_adv = fused_advective_tendencies(
                 grid, scheme, self.tracer_advection, u, v, w,
-                {n: sol[n] for n in self.tracer_names})
+                {n: sol[n] for n in self.tracer_names},
+                z_slim=z_halo_free_ok(grid, self.bcs.get("w")))
             Gu, Gv, Gw = fused_adv["u"], fused_adv["v"], fused_adv["w"]
         else:
             Gu = -div_vu(grid, scheme, u, v, w)
@@ -484,14 +486,21 @@ class NonhydrostaticModel:
         u, v, w = sol["u"], sol["v"], sol["w"]
         fuser = None
         if self.fused_advection:
-            from ..ops.fused_tendencies import ConstMetricGrid, pallas_fuse
+            from ..ops.fused_tendencies import (ConstMetricGrid, pallas_fuse,
+                                                z_halo_free_ok)
             ax = grid._axes
             cg = ConstMetricGrid(
                 float(ax[0].extent / max(grid.Nx, 1)),
                 float(ax[1].extent / max(grid.Ny, 1)),
                 float(ax[2].extent / max(grid.Nz, 1)) if grid.Nz > 1 else 1.0)
+            # z-wrap safety of both fused fns under z_halo_free_ok: the
+            # divergence's top-cell read of w[face Nz] wraps to w[face 0]
+            # (both are the impenetrable wall, = 0), and the gradient's
+            # wall-face gz garbage only corrupts w at the walls, which
+            # update_state's halo fill re-imposes before any read.
+            z_slim = z_halo_free_ok(grid, self.bcs.get("w"))
             fuser = pallas_fuse(lambda uu, vv, ww: (op.div_ccc(uu, vv, ww, cg),),
-                                grid, 1)
+                                grid, 1, z_slim=z_slim)
         if fuser is not None:
             div = fuser(u, v, w)[0]
         else:
@@ -506,7 +515,7 @@ class NonhydrostaticModel:
         if self.fused_advection:
             gfuser = pallas_fuse(
                 lambda p: (st.dxf(p) / cg.dx(U_LOC), st.dyf(p) / cg.dy(V_LOC),
-                           st.dzf(p) / cg.dz(W_LOC)), grid, 3)
+                           st.dzf(p) / cg.dz(W_LOC)), grid, 3, z_slim=z_slim)
         if gfuser is not None:
             gx, gy, gz = gfuser(pNHS)
         else:

@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.location import CENTER, U_LOC, V_LOC, W_LOC
+from . import fused_tendencies as _ft
 from .fused_tendencies import (ConstMetricGrid, _COMPILER_PARAMS, _fast_div,
-                               _tile_sizes)
+                               _shift_rmasks, _tile_sizes, _zslim_in,
+                               z_halo_free_ok)
 from . import stencil as st
 
 
@@ -79,12 +81,23 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     nx, ny, nz = grid.shape
     hx, hy, hz = grid.halo
     zt = nz + 2 * hz
+    # z-halo-free blocks: every VPU value carries exactly nz lanes (2 full
+    # vregs at 256³ instead of 262 padded to 384 — ~33% less VPU work on
+    # the step's dominant kernel); see z_halo_free_ok for the exactness
+    # argument (periodic wrap / impenetrable walls).
+    z_slim = z_halo_free_ok(grid, model.bcs.get("w"))
+    zk = nz if z_slim else zt
+    z_dma = z_slim and _ft.Z_SLIM_DMA and nz % 128 == 0
+    zw = nz if z_dma else zt
+    z_off = hz if z_dma else 0
     ax = grid._axes
     rmasks = {}
     for sch in (scheme, tracer_scheme):
         m = reduced_order_masks(grid, 2, sch)
         if m is not None:
             rmasks[(2, sch.required_halo)] = m
+    if z_slim:
+        rmasks = _shift_rmasks(rmasks, hz)
     cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
                          float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
                          float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
@@ -100,17 +113,19 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     c2 = (0.5 + chi).astype(grid.dtype).reshape(1, 1)
     dts = jnp.asarray(dt, grid.dtype).reshape(1, 1)
 
-    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=sol["u"].dtype.itemsize,
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zk, itemsize=sol["u"].dtype.itemsize,
                          budget_bytes=int(12_000_000 / max(4, nfields)))
 
     field_names = ("u", "v", "w") + tuple(names)
 
     def kernel(c1_ref, c2_ref, dt_ref, *refs):
         prog = refs[:nfields]
-        ph_b = refs[nfields][:] if has_ph else None
+        ph_b = _zslim_in(refs[nfields][:], hz, zk) if has_ph else None
         gp = refs[nfields + int(has_ph): nfields + int(has_ph) + nfields]
         outs = refs[nfields + int(has_ph) + nfields:]
-        ub, vb, wb = prog[0][:], prog[1][:], prog[2][:]
+        ub = _zslim_in(prog[0][:], hz, zk)
+        vb = _zslim_in(prog[1][:], hz, zk)
+        wb = _zslim_in(prog[2][:], hz, zk)
         sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
               slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
               slice(None))
@@ -124,20 +139,23 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
                 G[1] = G[1] - st.dyf(ph_b) / dyv
             for k in range(len(names)):
                 G.append(-div_Uc(cg, tracer_scheme, ub, vb, wb,
-                                 prog[3 + k][:]))
+                                 _zslim_in(prog[3 + k][:], hz, zk)))
+        probs = [ub, vb, wb] + [_zslim_in(prog[3 + k][:], hz, zk)
+                                for k in range(len(names))]
         for k in range(nfields):
             g_int = G[k][sl]
-            outs[k][:] = prog[k][:][sl] + dtv * (c1s * g_int
-                                                 - c2s * gp[k][:][sl])
+            outs[k][:] = probs[k][sl] + dtv * (c1s * g_int
+                                               - c2s * _zslim_in(
+                                                   gp[k][:], hz, zk)[sl])
             outs[nfields + k][:] = g_int
 
     win = pl.BlockSpec(
-        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
-        lambda i, j: (i * tx, j * ty, 0))
+        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
+        lambda i, j: (i * tx, j * ty, z_off))
     smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                         memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
-    out_shape = jax.ShapeDtypeStruct((nx, ny, zt), sol["u"].dtype)
+    out_spec = pl.BlockSpec((tx, ty, zk), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nx, ny, zk), sol["u"].dtype)
 
     inputs = [sol[n] for n in field_names]
     if has_ph:
@@ -154,7 +172,7 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(c1, c2, dts, *inputs)
 
-    pad = ((hx, hx), (hy, hy), (0, 0))
+    pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
     sol_new = {n: jnp.pad(outs[k], pad) for k, n in enumerate(field_names)}
     G = {n: jnp.pad(outs[nfields + k], pad)
          for k, n in enumerate(field_names)}

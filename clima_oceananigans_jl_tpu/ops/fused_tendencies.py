@@ -143,7 +143,70 @@ def _tile_sizes(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
     return best[1], best[2]
 
 
-def pallas_fuse(fn, grid, n_out, interpret=None):
+def z_halo_free_ok(grid, w_bcs=None):
+    """True when the 3D fused kernels may carry z-HALO-FREE blocks: the
+    z (lane) window is exactly Nz instead of Nz+2Hz, so at 256³ the lane
+    dim is 2 full vregs (256) instead of 262 padded to 384 — every VPU op
+    in the kernel drops ~33% of its work.
+
+    Correctness: in-kernel shifts are rolls, so z reads wrap in-block.
+    - PERIODIC z: the wrap IS the periodic condition — bit-exact.
+    - BOUNDED z with impenetrable w (open/value BCs with zero value): the
+      advective flux through both boundary faces carries vel = w = 0
+      exactly (the halo fill imposes the wall faces, bcs.py
+      ``_bounded_slab``), so wrapped reconstruction garbage at the
+      boundary faces is annihilated; near-boundary reduced-order
+      fallbacks read only in-block cells elsewhere. The single exception
+      is G_w/w′ at the BOTTOM boundary face (k=0), which is left
+      unspecified — it is dynamically irrelevant (the projection imposes
+      the wall value before the divergence, nonhydrostatic.py
+      ``project_velocities``, and the halo fill re-imposes it after).
+      Multi-step solutions are bit-identical (test_fused_tendencies.py).
+    """
+    from ..grids.topology import PERIODIC, BOUNDED
+    nz = grid.shape[2]
+    if nz <= 1 or grid.halo[2] == 0:
+        return False
+    topo = grid.topology[2]
+    if topo is PERIODIC:
+        return True
+    if topo is not BOUNDED or w_bcs is None:
+        return False
+    for bc in (w_bcs.bottom, w_bcs.top):
+        if bc is None or bc.kind not in ("open", "value"):
+            return False
+        v = bc.value
+        if not (v is None or (isinstance(v, (int, float)) and v == 0.0)):
+            return False
+    return True
+
+
+def _shift_rmasks(rmasks, hz):
+    """Reduced-order mask bounds are absolute with-halo z indices; in a
+    z-halo-free block the z coordinate is (absolute − hz)."""
+    if not rmasks or hz == 0:
+        return rmasks
+    return {k: tuple((lo - hz, hi - hz) for lo, hi in triple)
+            for k, triple in rmasks.items()}
+
+
+#: how z-slim kernels obtain the nz-lane blocks. True: the input window
+#: itself is (…, nz) at Element offset hz — the DMA does the realignment
+#: for free (window size nz must then be a 128-multiple or Mosaic may
+#: reject the unaligned lane offset). False: full (…, nz+2hz) windows,
+#: sliced to nz lanes in-kernel (always compiles; costs one lane-shift
+#: relayout per input block). Flipped at bench time on real TPU.
+Z_SLIM_DMA = False
+
+
+def _zslim_in(block, hz, nz):
+    """Kernel-side z-halo drop for the in-kernel-slice variant."""
+    if block.shape[-1] == nz:
+        return block
+    return block[..., hz:hz + nz]
+
+
+def pallas_fuse(fn, grid, n_out, interpret=None, z_slim=False):
     """Tile ANY whole-array stencil function into one fused Pallas pass.
 
     ``fn(*blocks) -> tuple of n_out blocks`` evaluates the stencil math on
@@ -152,12 +215,20 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
     reusing the ordinary jnp stencil code; the wrapper returns a function
     over with-halo arrays producing with-halo outputs whose x/y halos are
     zero-padded. Regular grids only (metrics must be compile-time
-    constants inside ``fn``)."""
+    constants inside ``fn``).
+
+    ``z_slim=True`` (caller must establish ``z_halo_free_ok``, and ``fn``
+    must be wrap-safe in z — its z reads at the walls either annihilated
+    by zero wall-normal velocity or overwritten before the next read):
+    blocks carry exactly nz lanes instead of nz+2hz, outputs are z-halo
+    padded with zeros."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     nx, ny, nz = grid.shape
     hx, hy, hz = grid.halo
     zt = nz + 2 * hz
+    if z_slim and hz == 0:
+        z_slim = False
 
     if nz == 1 and hz == 0:
         # 2D fields: squeeze z so y is the lane dimension (a trailing
@@ -250,17 +321,22 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
 
         return wrapped2d
 
+    zk = nz if z_slim else zt  # lane extent of every value in the kernel
+    z_dma = z_slim and Z_SLIM_DMA and nz % 128 == 0
+    zw = nz if z_dma else zt  # lane extent of the input windows
+    z_off = hz if z_dma else 0
+
     def wrapped(*inputs):
         # temp count scales with the number of fields evaluated in-kernel
         nf = max(4, len(inputs), n_out)
-        tx, ty = _tile_sizes(nx, ny, hx, hy, zt,
+        tx, ty = _tile_sizes(nx, ny, hx, hy, zk,
                              itemsize=inputs[0].dtype.itemsize,
                              budget_bytes=int(12_000_000 / nf))
 
         def kernel(*refs):
             in_refs = refs[:len(inputs)]
             out_refs = refs[len(inputs):]
-            blocks = [r[:] for r in in_refs]
+            blocks = [_zslim_in(r[:], hz, zk) for r in in_refs]
             sl = (slice(hx, hx + tx) if blocks[0].shape[0] > tx else slice(None),
                   slice(hy, hy + ty) if blocks[0].shape[1] > ty else slice(None),
                   slice(None))
@@ -270,10 +346,10 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
                 o_ref[:] = o[sl]
 
         win = pl.BlockSpec(
-            (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
-            lambda i, j: (i * tx, j * ty, 0))
-        out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
-        out_shape = jax.ShapeDtypeStruct((nx, ny, zt), inputs[0].dtype)
+            (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
+            lambda i, j: (i * tx, j * ty, z_off))
+        out_spec = pl.BlockSpec((tx, ty, zk), lambda i, j: (i, j, 0))
+        out_shape = jax.ShapeDtypeStruct((nx, ny, zk), inputs[0].dtype)
         outs = pl.pallas_call(
             kernel,
             grid=(nx // tx, ny // ty),
@@ -283,17 +359,19 @@ def pallas_fuse(fn, grid, n_out, interpret=None):
             interpret=interpret,
             compiler_params=None if interpret else _COMPILER_PARAMS,
         )(*inputs)
-        pad = ((hx, hx), (hy, hy), (0, 0))
+        pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
         return tuple(jnp.pad(o, pad) for o in outs)
 
     return wrapped
 
 
 def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
-                               interpret=None):
+                               interpret=None, z_slim=False):
     """−div(advective fluxes) for u, v, w and every tracer, in one fused
     Pallas pass. Returns a dict of with-halo arrays (x/y halo regions are
-    zero; z range mirrors the jnp path's garbage-in-halo convention)."""
+    zero; z range mirrors the jnp path's garbage-in-halo convention —
+    zeros instead under ``z_slim``, which the caller enables only when
+    ``z_halo_free_ok`` holds)."""
     from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
 
     if interpret is None:
@@ -302,6 +380,12 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
     nx, ny, nz = grid.shape
     hx, hy, hz = grid.halo
     zt = nz + 2 * hz
+    if z_slim and hz == 0:
+        z_slim = False
+    zk = nz if z_slim else zt
+    z_dma = z_slim and Z_SLIM_DMA and nz % 128 == 0
+    zw = nz if z_dma else zt
+    z_off = hz if z_dma else 0
     ax = grid._axes
     # near-boundary order reduction along z (full-window axis): absolute
     # masks are legal there; supports_fused_advection() rejects bounded x/y
@@ -311,19 +395,23 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
         m = reduced_order_masks(grid, 2, sch)
         if m is not None:
             rmasks[(2, sch.required_halo)] = m
+    if z_slim:
+        rmasks = _shift_rmasks(rmasks, hz)
     cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
                          float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
                          float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
                          reduced_masks=rmasks or None)
     names = list(tracers)
     n_out = 3 + len(names)
-    tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=u.dtype.itemsize,
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zk, itemsize=u.dtype.itemsize,
                          budget_bytes=int(12_000_000 / max(4, n_out)))
 
     def kernel(u_ref, v_ref, w_ref, *refs):
         c_refs = refs[:len(names)]
         out_refs = refs[len(names):]
-        ub, vb, wb = u_ref[:], v_ref[:], w_ref[:]
+        ub = _zslim_in(u_ref[:], hz, zk)
+        vb = _zslim_in(v_ref[:], hz, zk)
+        wb = _zslim_in(w_ref[:], hz, zk)
         sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
               slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
               slice(None))
@@ -333,13 +421,13 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
             out_refs[2][:] = -div_vw(cg, scheme, ub, vb, wb)[sl]
             for k, cref in enumerate(c_refs):
                 out_refs[3 + k][:] = -div_Uc(cg, tracer_scheme, ub, vb, wb,
-                                             cref[:])[sl]
+                                             _zslim_in(cref[:], hz, zk))[sl]
 
     win = pl.BlockSpec(
-        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zt)),
-        lambda i, j: (i * tx, j * ty, 0))
-    out_spec = pl.BlockSpec((tx, ty, zt), lambda i, j: (i, j, 0))
-    out_shape = jax.ShapeDtypeStruct((nx, ny, zt), u.dtype)
+        (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
+        lambda i, j: (i * tx, j * ty, z_off))
+    out_spec = pl.BlockSpec((tx, ty, zk), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nx, ny, zk), u.dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -351,7 +439,7 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(u, v, w, *[tracers[n] for n in names])
 
-    pad = ((hx, hx), (hy, hy), (0, 0))
+    pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
     result = dict(u=jnp.pad(outs[0], pad), v=jnp.pad(outs[1], pad),
                   w=jnp.pad(outs[2], pad))
     for k, n in enumerate(names):

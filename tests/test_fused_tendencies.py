@@ -104,6 +104,108 @@ def test_fused_shallow_water_ytiled_matches_jnp():
         assert np.allclose(a, b, atol=1e-12), name
 
 
+def test_zslim_fused_matches_jnp_periodic_z():
+    """z-halo-free blocks (z_slim): bit-exact on periodic z — the
+    in-block roll wrap IS the periodic condition."""
+    from clima_oceananigans_jl_tpu.ops.fused_tendencies import z_halo_free_ok
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, PERIODIC),
+                           halo=(3, 4, 3), dtype=jnp.float64)
+    assert z_halo_free_ok(grid)
+    scheme = WENO5()
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    u, v, w, c = (jax.random.normal(k, grid.total_shape, jnp.float64) for k in ks)
+    from clima_oceananigans_jl_tpu.boundary_conditions.bcs import fill_halos
+    from clima_oceananigans_jl_tpu.utils.location import U_LOC, V_LOC, W_LOC, CENTER
+    u = fill_halos(u, grid, U_LOC); v = fill_halos(v, grid, V_LOC)
+    w = fill_halos(w, grid, W_LOC); c = fill_halos(c, grid, CENTER)
+    slim = fused_advective_tendencies(grid, scheme, CenteredSecondOrder(),
+                                      u, v, w, {"c": c}, interpret=True,
+                                      z_slim=True)
+    full = fused_advective_tendencies(grid, scheme, CenteredSecondOrder(),
+                                      u, v, w, {"c": c}, interpret=True,
+                                      z_slim=False)
+    ref = dict(u=-div_vu(grid, scheme, u, v, w),
+               v=-div_vv(grid, scheme, u, v, w),
+               w=-div_vw(grid, scheme, u, v, w),
+               c=-div_Uc(grid, CenteredSecondOrder(), u, v, w, c))
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(grid.interior(slim[name]))
+        b = np.asarray(grid.interior(full[name]))
+        assert np.array_equal(a, b), name  # bitwise vs the with-halo kernel
+        r = np.asarray(grid.interior(ref[name]))
+        assert np.allclose(a, r, atol=1e-12), name
+
+
+def test_zslim_fused_matches_jnp_bounded_z():
+    """z_slim on bounded z with impenetrable walls: interiors bit-match
+    the jnp path except G_w at the bottom wall face (k=0) — the
+    documented exception, overwritten by the projection before any read
+    (the full-step bitwise test below covers that end-to-end)."""
+    from clima_oceananigans_jl_tpu.boundary_conditions.bcs import (
+        default_bcs, fill_halos)
+    from clima_oceananigans_jl_tpu.ops.fused_tendencies import z_halo_free_ok
+    from clima_oceananigans_jl_tpu.utils.location import (U_LOC, V_LOC,
+                                                          W_LOC, CENTER)
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           halo=(3, 4, 3), dtype=jnp.float64)
+    w_bcs = default_bcs(grid, W_LOC)
+    assert z_halo_free_ok(grid, w_bcs)
+    scheme = WENO5()
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    u, v, w, c = (jax.random.normal(k, grid.total_shape, jnp.float64) for k in ks)
+    u = fill_halos(u, grid, U_LOC); v = fill_halos(v, grid, V_LOC)
+    w = fill_halos(w, grid, W_LOC, w_bcs); c = fill_halos(c, grid, CENTER)
+    slim = fused_advective_tendencies(grid, scheme, CenteredSecondOrder(),
+                                      u, v, w, {"c": c}, interpret=True,
+                                      z_slim=True)
+    full = fused_advective_tendencies(grid, scheme, CenteredSecondOrder(),
+                                      u, v, w, {"c": c}, interpret=True,
+                                      z_slim=False)
+    ref = dict(u=-div_vu(grid, scheme, u, v, w),
+               v=-div_vv(grid, scheme, u, v, w),
+               w=-div_vw(grid, scheme, u, v, w),
+               c=-div_Uc(grid, CenteredSecondOrder(), u, v, w, c))
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(grid.interior(slim[name]))
+        b = np.asarray(grid.interior(full[name]))
+        r = np.asarray(grid.interior(ref[name]))
+        if name == "w":
+            a, b, r = a[:, :, 1:], b[:, :, 1:], r[:, :, 1:]
+        assert np.array_equal(a, b), name  # bitwise vs the with-halo kernel
+        assert np.allclose(a, r, atol=1e-12), name
+
+
+def test_zslim_dma_variant_matches():
+    """The Z_SLIM_DMA layout (input windows carry nz lanes at Element
+    offset hz — the DMA realigns instead of an in-kernel slice) must be
+    bit-identical to the in-kernel-slice variant. Needs nz % 128 == 0."""
+    import clima_oceananigans_jl_tpu.ops.fused_tendencies as ft
+
+    grid = RectilinearGrid(size=(8, 8, 128), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    scheme = WENO5()
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    u, v, w, c = (jax.random.normal(k, grid.total_shape, jnp.float64) for k in ks)
+    outs = {}
+    for dma in (False, True):
+        ft.Z_SLIM_DMA = dma
+        try:
+            outs[dma] = fused_advective_tendencies(
+                grid, scheme, CenteredSecondOrder(), u, v, w, {"c": c},
+                interpret=True, z_slim=True)
+        finally:
+            ft.Z_SLIM_DMA = False
+    for name in ("u", "v", "w", "c"):
+        a = np.asarray(outs[True][name])
+        b = np.asarray(outs[False][name])
+        assert np.array_equal(a, b), name
+
+
 def test_fused_ab2_step_matches_plain_path_bitwise():
     """The fused AB2 advance (tendencies + pHY' gradient + substep in one
     Pallas pass, ops/fused_step.py) must reproduce the plain
