@@ -97,18 +97,31 @@ def _extract_json_line(text: str) -> str | None:
     return None
 
 
+#: degradation ladder: on a child FAILURE (nonzero rc — e.g. a Mosaic
+#: compile rejection of a new kernel layout), drop one optimization level
+#: so the round always lands SOME number. Timeouts (relay wedge) retry at
+#: the same level.
+DEGRADE_LEVELS = (
+    {},                                         # full optimizations
+    {"CLIMA_NO_ZSLIM": "1"},                    # no z-halo-free blocks
+    {"CLIMA_NO_ZSLIM": "1", "CLIMA_NO_FUSED": "1"},  # plain XLA path
+)
+
+
 def supervise() -> int:
     deadline = time.monotonic() + WALL_BUDGET_S
-    env = dict(os.environ, BENCH_CHILD="1")
     attempt = 0
+    level = 0
+    timeouts_at_level = 0
     best: str | None = None
     while time.monotonic() < deadline:
         attempt += 1
         remaining = deadline - time.monotonic()
         timeout = max(min(ATTEMPT_TIMEOUT_S, remaining),
                       min(60, ATTEMPT_TIMEOUT_S))
-        print(f"[bench supervisor] attempt {attempt} "
+        print(f"[bench supervisor] attempt {attempt} level {level} "
               f"(timeout {timeout:.0f}s)", file=sys.stderr)
+        env = dict(os.environ, BENCH_CHILD="1", **DEGRADE_LEVELS[level])
         child = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -125,6 +138,12 @@ def supervise() -> int:
             out, _ = child.communicate()
             print(f"[bench supervisor] attempt {attempt} timed out; "
                   f"relay may be wedged", file=sys.stderr)
+            # one timeout is usually the relay; two in a row at the same
+            # level may be a silently-hanging kernel compile — degrade
+            timeouts_at_level += 1
+            if timeouts_at_level >= 2 and level + 1 < len(DEGRADE_LEVELS):
+                level += 1
+                timeouts_at_level = 0
         else:
             line = _extract_json_line(out or "")
             if child.returncode == 0 and line:
@@ -135,6 +154,10 @@ def supervise() -> int:
             tail = "\n".join((out or "").splitlines()[-8:])
             print(f"[bench supervisor] attempt {attempt} rc="
                   f"{child.returncode}\n{tail}", file=sys.stderr)
+            # a real failure (not a wedge): try a more conservative config
+            if level + 1 < len(DEGRADE_LEVELS):
+                level += 1
+                timeouts_at_level = 0
         if time.monotonic() + RETRY_SLEEP_S >= deadline:
             break
         time.sleep(RETRY_SLEEP_S)

@@ -100,7 +100,12 @@ class _fast_div:
 
 def supports_fused_advection(grid):
     # x/y must not be BOUNDED: near-boundary order-reduction masks are
-    # absolute positions, which the tiled x/y windows cannot express
+    # absolute positions, which the tiled x/y windows cannot express.
+    # CLIMA_NO_FUSED=1 (env) force-disables every fused Pallas path —
+    # the bench supervisor's last-resort degradation level.
+    import os
+    if os.environ.get("CLIMA_NO_FUSED"):
+        return False
     from ..grids.topology import BOUNDED
     return (not grid.curvilinear and grid.all_regular
             and getattr(grid, "immersed", None) is None
@@ -162,7 +167,14 @@ def z_halo_free_ok(grid, w_bcs=None):
       the wall value before the divergence, nonhydrostatic.py
       ``project_velocities``, and the halo fill re-imposes it after).
       Multi-step solutions are bit-identical (test_fused_tendencies.py).
+
+    ``CLIMA_NO_ZSLIM=1`` (env) force-disables the layout — the bench
+    supervisor's degradation ladder uses it if the slim kernel ever
+    fails to compile on real TPU hardware.
     """
+    import os
+    if os.environ.get("CLIMA_NO_ZSLIM"):
+        return False
     from ..grids.topology import PERIODIC, BOUNDED
     nz = grid.shape[2]
     if nz <= 1 or grid.halo[2] == 0:
