@@ -18,6 +18,8 @@ from .fields.field import (
     VelocityFields, TracerFields, set_field, integral, average, field_norm,
     interpolate, regrid, windowed,
 )
+from .fields.background import BackgroundField
+from .fields.model_fields import BuoyancyField, PressureField
 
 from .advection.schemes import (
     CenteredSecondOrder, CenteredFourthOrder, UpwindBiasedFirstOrder,
@@ -46,7 +48,7 @@ from .advection.vector_invariant import VectorInvariant
 from .simulation.simulation import Simulation, Callback, NaNChecker, TimeStepWizard
 from .utils.schedules import (
     TimeInterval, IterationInterval, WallTimeInterval, SpecifiedTimes,
-    AndSchedule, OrSchedule,
+    AndSchedule, OrSchedule, AveragedTimeInterval,
 )
 from .forcings.forcing import (
     AdvectiveForcing, Forcing, GaussianMask, LinearTarget, Relaxation,

@@ -300,8 +300,12 @@ class NonhydrostaticModel:
             Gv = -div_vv(grid, scheme, u, v, w)
             Gw = -div_vw(grid, scheme, u, v, w)
 
-        # background-field advection cross terms (reference tendency :61-63)
-        bg = self.background_fields
+        # background-field advection cross terms (reference tendency :61-63);
+        # BackgroundField entries are materialized at the traced clock time
+        # (time-independent ones constant-fold under jit)
+        from ..fields.background import materialize_background
+        bg = materialize_background(self.background_fields, grid,
+                                    self._locs(), clock.time)
         if bg:
             bu = bg.get("u", jnp.zeros_like(u))
             bv = bg.get("v", jnp.zeros_like(v))

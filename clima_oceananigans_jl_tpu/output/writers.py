@@ -156,9 +156,25 @@ class WindowedTimeAverage:
         self._wsum = 0.0
         self._last_t = None
         self._last_val = None
+        self._n_seen = 0
 
     def __call__(self, sim):
+        from ..utils.schedules import AveragedTimeInterval
         t = sim.model_time()
+        out_sched = self.output_schedule
+        if isinstance(out_sched, AveragedTimeInterval):
+            # only collect inside the trailing window, every stride-th
+            # sample (reference windowed_time_average.jl:101-121)
+            self._n_seen += 1
+            if not out_sched.collecting(t):
+                if self._last_val is None:
+                    # keep a snapshot so the initial forced actuation of
+                    # the writer has something to record
+                    self._last_val = np.asarray(self.fetch(sim))
+                self._last_t = None  # restart integration at window entry
+                return
+            if (self._n_seen - 1) % out_sched.stride:
+                return
         val = np.asarray(self.fetch(sim))
         self._last_val = val
         if self._last_t is None or self._sum is None:

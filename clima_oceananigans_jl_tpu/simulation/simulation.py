@@ -145,7 +145,28 @@ class Simulation:
                 if fire or initial:
                     item(self) if callable(item) else item.process(self)
 
+    def _setup_time_averaging(self):
+        """Writers scheduled with AveragedTimeInterval get their outputs
+        auto-wrapped in WindowedTimeAverage accumulators (reference
+        jld2_output_writer.jl time-averaging path)."""
+        from ..output.writers import WindowedTimeAverage, _fetch
+        from ..utils.schedules import AveragedTimeInterval
+        for wname, writer in self.output_writers.items():
+            sched = getattr(writer, "schedule", None)
+            if not isinstance(sched, AveragedTimeInterval):
+                continue
+            for name, spec in list(writer.outputs.items()):
+                if isinstance(spec, WindowedTimeAverage):
+                    continue
+                wta = WindowedTimeAverage(
+                    (lambda sim, n=name, s=spec: _fetch(sim, n, s,
+                                                        writer.indices)),
+                    schedule=sched)
+                writer.outputs[name] = wta
+                self.diagnostics[f"_wta_{wname}_{name}"] = wta
+
     def initialize(self):
+        self._setup_time_averaging()
         self._fire(initial=True)
         self.initialized = True
 

@@ -41,6 +41,29 @@ class TimeInterval(Schedule):
         return min(dt, max(nxt - clock_time, 0.0)) if nxt > clock_time else dt
 
 
+class AveragedTimeInterval(TimeInterval):
+    """TimeInterval whose actuations deliver a time-average instead of a
+    snapshot (reference OutputWriters/windowed_time_average.jl:20-77,
+    exported as AveragedTimeInterval in Oceananigans.jl:100-104): output
+    is averaged over the trailing ``window`` (default: the full interval)
+    before each actuation, sampling every ``stride`` iterations.
+
+    A writer whose ``schedule`` is an AveragedTimeInterval gets its
+    outputs auto-wrapped in ``WindowedTimeAverage`` accumulators by
+    ``Simulation.initialize`` — users just pass the schedule."""
+
+    def __init__(self, interval, window=None, stride=1):
+        super().__init__(interval)
+        self.window = float(window) if window is not None else float(interval)
+        self.stride = int(stride)
+
+    def collecting(self, t):
+        """True when `t` lies inside the averaging window that precedes
+        the next actuation."""
+        nxt = self.previous_actuation_time + self.interval
+        return t >= nxt - self.window - 1e-12 * max(1.0, abs(t))
+
+
 class IterationInterval(Schedule):
     def __init__(self, interval):
         self.interval = int(interval)
