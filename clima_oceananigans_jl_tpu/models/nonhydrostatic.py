@@ -359,11 +359,17 @@ class NonhydrostaticModel:
             c = sol[name]
             Gc = (fused_adv[name] if fused_adv is not None
                   else -div_Uc(grid, ts, u, v, w, c))
-            if bg and name in bg:
+            # background cross terms (reference
+            # nonhydrostatic_tendency_kernel_functions.jl:227-228):
+            # background velocities advect c, AND the full velocity
+            # advects the background tracer
+            if bg and any(k in bg for k in ("u", "v", "w")):
                 Gc = Gc - div_Uc(grid, ts,
                                  bg.get("u", jnp.zeros_like(u)),
                                  bg.get("v", jnp.zeros_like(v)),
                                  bg.get("w", jnp.zeros_like(w)), c)
+            if bg and name in bg:
+                Gc = Gc - div_Uc(grid, ts, u, v, w, bg[name])
             if self.closure is not None:
                 Gc = Gc + tracer_diffusion(c, grid, name, self.closure, diff)
                 closures = (self.closure if isinstance(self.closure, (tuple, list))
