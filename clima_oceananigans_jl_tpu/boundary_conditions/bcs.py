@@ -208,8 +208,11 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
     face_loc = loc[axis] is F
     if bc is None or bc.kind in ("communication", "periodic"):
         return None, (H if side == 0 else H + N + (1 if face_loc else 0))
-    b = _bvalue(bc, grid, axis, side, loc, t)
     kind = bc.kind
+    # flux BCs fill by zero-gradient mirror and enter the tendency via
+    # apply_flux_bcs — never evaluate their value here (a discrete-form
+    # flux callable has the signature (grid, clock, fields), not (x,y,t))
+    b = None if kind == "flux" else _bvalue(bc, grid, axis, side, loc, t)
     clampc = lambda i: min(max(i, H), H + N - 1)
 
     if not face_loc:
