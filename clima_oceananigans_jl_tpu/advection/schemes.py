@@ -144,6 +144,15 @@ class WENO5(AdvectionScheme):
     is_upwind: bool = True
     eps: float = 1e-6
     fast_bf16: bool = False
+    #: evaluate ONLY the Jiang-Shu smoothness indicators and the nonlinear
+    #: weights in bfloat16 (packed double-rate on the TPU VPU), keeping the
+    #: candidate reconstructions (the accuracy-carrying taps) in full
+    #: precision. The indicators merely SELECT a convex combination of the
+    #: candidates: perturbing them at bf16 granularity moves the weights
+    #: within their own O(Δx²) heuristic slack, so the flux perturbation
+    #: is bounded by the scheme's truncation error (accuracy-gated in
+    #: tests/test_bf16_smoothness.py; ~25% off the fused-kernel VPU work).
+    bf16_smoothness: bool = False
 
     def left_to_f(self, c, axis):
         if self.fast_bf16:
@@ -226,17 +235,24 @@ class WENO5(AdvectionScheme):
         L, R = self.lr_to_f_smooth(c, smooths, axis)
         return shift(L, 1, axis), shift(R, 1, axis)
 
-    def _combine(self, p0, p1, p2, b0, b1, b2, d=(0.1, 0.6, 0.3)):
-        # single-division form: αk = dk/(βk+ε)² → multiply through by
-        # Π(βj+ε)² so the weights become polynomials (divisions are
-        # multi-pass on the TPU VPU; this keeps exactly one)
+    def _nl_weights(self, b0, b1, b2, d=(0.1, 0.6, 0.3)):
+        """Un-normalized nonlinear weights gk = dk Π_{j≠k}(βj+ε)² — the
+        single-division form: αk = dk/(βk+ε)² multiplied through by
+        Π(βj+ε)² so the weights become polynomials (divisions are
+        multi-pass on the TPU VPU; the caller keeps exactly one).
+        Evaluated in the βs' dtype (bf16 under ``bf16_smoothness``)."""
         eps = self.eps
         t0 = (b0 + eps) * (b0 + eps)
         t1 = (b1 + eps) * (b1 + eps)
         t2 = (b2 + eps) * (b2 + eps)
-        g0 = d[0] * (t1 * t2)
-        g1 = d[1] * (t0 * t2)
-        g2 = d[2] * (t0 * t1)
+        return d[0] * (t1 * t2), d[1] * (t0 * t2), d[2] * (t0 * t1)
+
+    def _combine(self, p0, p1, p2, b0, b1, b2, d=(0.1, 0.6, 0.3)):
+        if self.bf16_smoothness and p0.dtype == jnp.float32:
+            b0, b1, b2 = (b.astype(jnp.bfloat16) for b in (b0, b1, b2))
+        g0, g1, g2 = self._nl_weights(b0, b1, b2, d)
+        if g0.dtype != p0.dtype:
+            g0, g1, g2 = (g.astype(p0.dtype) for g in (g0, g1, g2))
         num = g0 * p0 + g1 * p1 + g2 * p2
         den = g0 + g1 + g2
         if PALLAS_FAST_DIV and num.dtype == jnp.float32:
@@ -313,10 +329,22 @@ class WENO5(AdvectionScheme):
     def _weno_stream(self, a):
         a0, a1, a2, a3, a4 = a
         d10, d11, d12, d13 = a1 - a0, a2 - a1, a3 - a2, a4 - a3
-        d20, d21, d22 = d11 - d10, d12 - d11, d13 - d12
-        b0 = (13.0 / 12.0) * d20 * d20 + 0.25 * (d20 + 2.0 * d11) ** 2
-        b1 = (13.0 / 12.0) * d21 * d21 + 0.25 * (d11 + d12) ** 2
-        b2 = (13.0 / 12.0) * d22 * d22 + 0.25 * (d22 - 2.0 * d12) ** 2
+        if self.bf16_smoothness and a0.dtype == jnp.float32:
+            # the whole indicator branch (second differences, βs, weights)
+            # runs at the VPU's packed-bf16 double rate; only the final
+            # num/den accumulation returns to f32 (see bf16_smoothness)
+            e11, e12 = d11.astype(jnp.bfloat16), d12.astype(jnp.bfloat16)
+            e20 = e11 - d10.astype(jnp.bfloat16)
+            e21 = e12 - e11
+            e22 = d13.astype(jnp.bfloat16) - e12
+            b0 = (13.0 / 12.0) * e20 * e20 + 0.25 * (e20 + 2.0 * e11) ** 2
+            b1 = (13.0 / 12.0) * e21 * e21 + 0.25 * (e11 + e12) ** 2
+            b2 = (13.0 / 12.0) * e22 * e22 + 0.25 * (e22 - 2.0 * e12) ** 2
+        else:
+            d20, d21, d22 = d11 - d10, d12 - d11, d13 - d12
+            b0 = (13.0 / 12.0) * d20 * d20 + 0.25 * (d20 + 2.0 * d11) ** 2
+            b1 = (13.0 / 12.0) * d21 * d21 + 0.25 * (d11 + d12) ** 2
+            b2 = (13.0 / 12.0) * d22 * d22 + 0.25 * (d22 - 2.0 * d12) ** 2
         p0 = a2 + (5.0 * d11 - 2.0 * d10) / 6.0
         p1 = a2 + (2.0 * d12 + d11) / 6.0
         p2 = a2 + (4.0 * d12 - d13) / 6.0
