@@ -91,20 +91,38 @@ class HDF5OutputWriter(AbstractOutputWriter):
 
 
 class NetCDFOutputWriter(AbstractOutputWriter):
-    """NetCDF3 (classic) writer with an unlimited time dimension."""
+    """NetCDF writer with an unlimited time dimension.
+
+    Two backends:
+    * ``format="netcdf4"`` (default) — HDF5-based NetCDF4 via h5py,
+      following the NetCDF-4 conventions (dimension scales attached to
+      each variable, ``_NCProperties`` root attribute) so the files open
+      with netCDF4-python/xarray/ncdump. Supports gzip ``compression``
+      (the reference's NetCDFOutputWriter compression kwarg,
+      netcdf_output_writer.jl:60) and scales to large grids — variables
+      are chunked per time slice.
+    * ``format="classic"`` — NetCDF3 via scipy (no compression, 32-bit
+      offsets; kept for environments without HDF5)."""
 
     def __init__(self, outputs, filepath, schedule=None, overwrite=True,
-                 verbose=False, indices=None):
+                 verbose=False, indices=None, format="netcdf4",
+                 compression=0):
         super().__init__(outputs, schedule, verbose, indices)
         self.filepath = filepath
+        self.format = format
+        self.compression = int(compression)
         self._initialized = False
         if overwrite and os.path.exists(filepath):
             os.remove(filepath)
         os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
 
     def _init_file(self, sim, sample):
+        if self.format == "classic":
+            return self._init_classic(sim, sample)
+        return self._init_nc4(sim, sample)
+
+    def _init_classic(self, sim, sample):
         from scipy.io import netcdf_file
-        grid = sim.model.grid
         f = netcdf_file(self.filepath, "w")
         f.createDimension("time", None)
         tvar = f.createVariable("time", "d", ("time",))
@@ -125,16 +143,70 @@ class NetCDFOutputWriter(AbstractOutputWriter):
         self._count = 0
         self._initialized = True
 
+    def _init_nc4(self, sim, sample):
+        """NetCDF-4 structure in an HDF5 container: every dimension is an
+        HDF5 dimension scale named like a NetCDF dim, attached to the data
+        variables; the _NCProperties attribute marks the file as NetCDF-4
+        so standard readers accept it."""
+        import h5py
+        f = h5py.File(self.filepath, "w")
+        f.attrs["_NCProperties"] = np.bytes_(
+            b"version=2,netcdf=4.9.0,hdf5=1.12.0")
+        # unlimited time dimension scale
+        tvar = f.create_dataset("time", shape=(0,), maxshape=(None,),
+                                dtype="f8")
+        tvar.make_scale("time")
+        tvar.attrs["units"] = np.bytes_(b"seconds")
+        self._dims = {"time": tvar}
+        kw = ({"compression": "gzip", "compression_opts": self.compression}
+              if self.compression else {})
+        self._vars = {}
+        for name, arr in sample.items():
+            dims, dim_names = [tvar], ["time"]
+            for a, letter in enumerate("xyz"):
+                if arr.ndim > a:
+                    dname = f"{letter}{arr.shape[a]}"
+                    if dname not in self._dims:
+                        d = f.create_dataset(dname, data=np.arange(
+                            arr.shape[a], dtype="f8"))
+                        d.make_scale(dname)
+                        self._dims[dname] = d
+                    dims.append(self._dims[dname])
+                    dim_names.append(dname)
+            shape = (0,) + arr.shape
+            v = f.create_dataset(name, shape=shape,
+                                 maxshape=(None,) + arr.shape,
+                                 chunks=(1,) + arr.shape, dtype=arr.dtype,
+                                 **kw)
+            for axis, scale in enumerate(dims):
+                v.dims[axis].attach_scale(scale)
+            v.attrs["DIMENSION_LABELS"] = np.array(
+                [n.encode() for n in dim_names], dtype=object)
+            self._vars[name] = v
+        self._f = f
+        self._tvar = tvar
+        self._count = 0
+        self._initialized = True
+
     def write(self, sim):
         sample = {name: _fetch(sim, name, spec, self.indices)
                   for name, spec in self.outputs.items()}
         if not self._initialized:
             self._init_file(sim, sample)
         i = self._count
-        self._tvar[i] = sim.model_time()
-        for name, arr in sample.items():
-            self._f.variables[name][i] = arr
-        self._f.flush()
+        if self.format == "classic":
+            self._tvar[i] = sim.model_time()
+            for name, arr in sample.items():
+                self._f.variables[name][i] = arr
+            self._f.flush()
+        else:
+            self._tvar.resize((i + 1,))
+            self._tvar[i] = sim.model_time()
+            for name, arr in sample.items():
+                v = self._vars[name]
+                v.resize((i + 1,) + v.shape[1:])
+                v[i] = arr
+            self._f.flush()
         self._count += 1
 
     def close(self):

@@ -46,10 +46,11 @@ def test_hdf5_writer_roundtrip(tmp_path):
     assert np.allclose(ts_disk[1], ts[1].shape and FieldTimeSeries(path, "uh")[1])
 
 
-def test_netcdf_writer(tmp_path):
+def test_netcdf_classic_writer(tmp_path):
     sim = _sim(tmp_path)
     path = str(tmp_path / "out.nc")
-    w = NetCDFOutputWriter(dict(h="h"), path, schedule=IterationInterval(3))
+    w = NetCDFOutputWriter(dict(h="h"), path, schedule=IterationInterval(3),
+                           format="classic")
     sim.output_writers["nc"] = w
     sim.run()
     w.close()
@@ -58,6 +59,51 @@ def test_netcdf_writer(tmp_path):
         assert "h" in f.variables
         assert f.variables["h"].shape[0] >= 2
         assert np.allclose(f.variables["h"][0], 1.0)
+
+
+def test_netcdf4_writer(tmp_path):
+    """Default NetCDF4 backend: HDF5 container with dimension scales,
+    openable by any HDF5/NetCDF-4 reader."""
+    sim = _sim(tmp_path)
+    path = str(tmp_path / "out4.nc")
+    w = NetCDFOutputWriter(dict(h="h", uh="uh"), path,
+                           schedule=IterationInterval(3))
+    sim.output_writers["nc"] = w
+    sim.run()
+    w.close()
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert "_NCProperties" in f.attrs           # NetCDF-4 marker
+        h = f["h"]
+        assert h.shape[0] >= 2 and h.shape[1:] == (16, 16, 1)
+        assert np.allclose(h[0], 1.0)
+        # dimension scales are attached (time + spatial dims)
+        assert h.dims[0][0] is not None
+        assert f["time"].shape[0] == h.shape[0]
+
+
+def test_netcdf4_compressed_large_grid(tmp_path):
+    """Gzip-compressed write of a large-ish slab: compressed file is
+    substantially smaller than the raw payload (the reference's
+    compression kwarg, netcdf_output_writer.jl)."""
+    import h5py
+
+    class _FakeSim:
+        def model_time(self):
+            return 0.0
+
+    path = str(tmp_path / "big.nc")
+    field = np.zeros((512, 512, 4), dtype=np.float32)
+    field[100:200, 100:200] = 1.0                 # compressible payload
+    w = NetCDFOutputWriter(dict(c=lambda s: field), path, compression=4)
+    w.write(_FakeSim())
+    w.write(_FakeSim())
+    w.close()
+    raw_bytes = 2 * field.nbytes
+    assert os.path.getsize(path) < raw_bytes / 10
+    with h5py.File(path, "r") as f:
+        assert f["c"].compression == "gzip"
+        assert np.array_equal(f["c"][1], field)
 
 
 def test_windowed_time_average(tmp_path):
