@@ -319,6 +319,47 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
     return data
 
 
+def impose_cut_wall_faces(data, grid, loc, bcs=None, t=0.0):
+    """The communication-free, interior-visible part of a cut-axis halo
+    fill: re-impose open/value wall-FACE values on FULLY_CONNECTED axes
+    whose global topology is bounded. The side-0 boundary face sits at
+    interior index H — the only fill effect inside the interior region —
+    so the halo-overlap deferred ``update_state`` applies just this
+    (slab-sized writes gated on ``lax.axis_index``, no ppermutes) to keep
+    post-step states bit-identical to the plain step's interiors."""
+    from jax import lax
+    if bcs is None:
+        bcs = default_bcs(grid, loc)
+    pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north),
+             (bcs.bottom, bcs.top))
+    for axis in (0, 1, 2):
+        if grid.topology[axis] is not FULLY_CONNECTED or loc[axis] is not F:
+            continue
+        dist = getattr(grid, "dist", (None, None, None))[axis]
+        if dist is None:
+            continue
+        mesh_axis, n_shards, global_topo = dist
+        if global_topo is PERIODIC:
+            continue
+        N, H = grid.shape[axis], grid.halo[axis]
+        for side, bc in ((0, pairs[axis][0]), (1, pairs[axis][1])):
+            if bc is None or bc.kind not in ("open", "value"):
+                continue
+            b = _bvalue(bc, grid, axis, side, loc, t)
+            sl = [slice(None)] * data.ndim
+            sl[axis] = slice(H if side == 0 else H + N,
+                             (H if side == 0 else H + N) + 1)
+            sl = tuple(sl)
+            idx = lax.axis_index(mesh_axis)
+            is_edge = (idx == 0) if side == 0 else (idx == n_shards - 1)
+            slab = jnp.where(is_edge,
+                             jnp.broadcast_to(jnp.asarray(b, data.dtype),
+                                              data[sl].shape),
+                             data[sl])
+            data = data.at[sl].set(slab)
+    return data
+
+
 def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
     """Fill all halo regions of `data`. Periodic axes first (reference
     fill_halo_regions.jl:57-95 ordering) so corner halos end up consistent.

@@ -44,11 +44,15 @@ class BackgroundField:
 
 
 def materialize_background(background_fields, grid, locs, t):
-    """name -> with-halo array, evaluating BackgroundField entries at `t`
-    (plain arrays pass through)."""
+    """name -> with-halo array, evaluating BackgroundField entries at `t`.
+    Plain callables are treated as ``f(x, y, z, t)`` (the reference's
+    regularize_background_field, background_fields.jl:49); arrays pass
+    through."""
     from ..utils.location import CENTER
     out = {}
     for name, f in (background_fields or {}).items():
+        if callable(f) and not isinstance(f, BackgroundField):
+            f = BackgroundField(f)
         if isinstance(f, BackgroundField):
             out[name] = f.evaluate(grid, locs.get(name, CENTER), t)
         else:

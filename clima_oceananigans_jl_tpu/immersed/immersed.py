@@ -144,6 +144,24 @@ class ImmersedGrid:
     def __repr__(self):
         return f"ImmersedGrid({self.parent!r})"
 
+    def subgrid_along(self, axis, start, n_new):
+        """Immersed-aware sub-grid strip (see RectilinearGrid.subgrid_along):
+        the parent grid slices its coordinates and every boundary leaf —
+        solid masks and partial-cell Δz overrides — is sliced with the
+        same with-halo window, so the halo-overlap edge-strip recompute
+        sees exactly the local masks it would on the full grid."""
+        parent_sub = self.parent.subgrid_along(axis, start, n_new)
+        h = self.parent.halo[axis]
+        sl = [slice(None)] * 3
+        sl[axis] = slice(start, start + n_new + 2 * h)
+        sl = tuple(sl)
+        bl, btd = jax.tree_util.tree_flatten(self.boundary)
+        b_sub = jax.tree_util.tree_unflatten(
+            btd, [l[sl] if getattr(l, "ndim", 0) == 3 else l for l in bl])
+        cut = lambda a: None if a is None else a[sl]
+        return ImmersedGrid(parent_sub, b_sub,
+                            cut(self._dz_ccc), cut(self._dz_ccf))
+
     # -- partial-cell vertical metrics --------------------------------------
     def spacing(self, axis, loc):
         if axis == 2 and self._dz_ccc is not None:

@@ -173,9 +173,11 @@ class HydrostaticFreeSurfaceModel:
         return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
                 for name, arr in sol.items()}
 
-    def compute_w(self, sol):
+    def compute_w(self, sol, axes=(0, 1, 2)):
         """w from continuity, integrated bottom-up
-        (reference compute_w_from_continuity.jl:30-36)."""
+        (reference compute_w_from_continuity.jl:30-36). ``axes``
+        restricts the final halo fill (the overlap bulk pass fills only
+        the uncut axes, so no collectives are issued)."""
         g = self.grid
         Hz, Nz = g.Hz, g.Nz
         d = op.div_xy_ccc(sol["u"], sol["v"], g)          # (X,Y,Z) at centers
@@ -184,9 +186,31 @@ class HydrostaticFreeSurfaceModel:
         w = jnp.zeros(g.total_shape, g.dtype)
         # face k+1 (array index Hz+1+k) = −cumsum through cell k; face Hz = 0
         w = w.at[:, :, Hz + 1: Hz + Nz + 1].set(-cum)
-        return fill_halos(w, g, W_LOC, self.w_bcs)
+        return fill_halos(w, g, W_LOC, self.w_bcs, axes=axes)
 
     def update_state(self, state):
+        """Halo fills + masking + diagnosed w/aux. Under ``halo_overlap``
+        (set by DistributedModel) the exchanges and aux recomputation are
+        DEFERRED into the next step's ``tendencies_overlapped``; the
+        communication-free parts run now so interiors stay bit-identical
+        to the plain step's (local-axis fills, cut-axis wall faces,
+        pointwise immersed masking). The carried w/diffusivities/pHY′ lag
+        one step and are rebuilt from the exchanged solution there."""
+        if getattr(self, "halo_overlap", False):
+            from ..boundary_conditions.bcs import impose_cut_wall_faces
+            t = state["clock"].time
+            locs = self._locs()
+            dist = getattr(self.grid, "dist", (None, None, None))
+            local_axes = tuple(a for a in (0, 1, 2) if dist[a] is None)
+            sol = {name: impose_cut_wall_faces(
+                       fill_halos(arr, self.grid, locs[name],
+                                  self.bcs[name], t, axes=local_axes),
+                       self.grid, locs[name], self.bcs[name], t)
+                   for name, arr in state["solution"].items()}
+            state = dict(state, solution=sol)
+            if self.immersed_boundary is not None:
+                state = self.immersed_boundary.mask_state(self, state)
+            return state
         t = state["clock"].time
         sol = self.fill_all_halos(state["solution"], t)
         eta = fill2d(state["eta"], self.grid, ETA_LOC, self.eta_bcs, t)
@@ -206,6 +230,96 @@ class HydrostaticFreeSurfaceModel:
             ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
             state = dict(state, pHY=ph)
         return state
+
+    def tendencies_overlapped(self, state):
+        """Interior/edge-split tendencies for distributed runs — the
+        hydrostatic counterpart of NonhydrostaticModel.tendencies_overlapped
+        (reference halo_communication.jl:68-86 nonblocking Isend/Irecv +
+        interior-kernel overlap):
+
+        1. issue the halo-exchange ppermutes (full fills) and rebuild the
+           deferred ``update_state`` products (mask, w, diffusivities,
+           pHY′) from the exchanged solution;
+        2. compute the FULL tendency field from the stale-cut-halo
+           solution (local fills + local-fill diagnosed w only — no
+           dependency on the exchange, so XLA runs the collectives
+           concurrently with this bulk pass);
+        3. recompute the H-wide interior strips along each cut axis from
+           the exchanged solution on sliced sub-grids and patch them in.
+
+        Returns ``(G, state_fresh)``. The step's downstream consumers
+        (barotropic mode, free-surface solves) read ``state_fresh``.
+        Between steps the carried w/diffusivities/pHY′ lag one exchange
+        (recomputed here), matching the deferred-update contract."""
+        import copy as _copy
+        grid = self.grid
+        t = state["clock"].time
+        sol_stale = state["solution"]
+        # fresh path: the deferred update_state (exchange + mask + aux)
+        sol_fresh = self.fill_all_halos(sol_stale, t)
+        eta_fresh = fill2d(state["eta"], grid, ETA_LOC, self.eta_bcs, t)
+        state_fresh = dict(state, solution=sol_fresh, eta=eta_fresh)
+        if self.immersed_boundary is not None:
+            state_fresh = self.immersed_boundary.mask_state(self, state_fresh)
+            sol_fresh = state_fresh["solution"]
+        state_fresh = dict(state_fresh, w=self.compute_w(sol_fresh))
+        tr = {n: sol_fresh[n] for n in self.tracer_names}
+        diff = compute_closure_diffusivities(
+            self.closure, grid, dict(sol_fresh, w=state_fresh["w"]),
+            self.buoyancy, tr)
+        if diff is not None:
+            state_fresh = dict(state_fresh, diffusivities=diff)
+        if self.buoyancy is not None:
+            ph = hydrostatic_pressure_anomaly(self.buoyancy, grid, tr)
+            ph = fill_halos(ph, grid, CENTER, self.pressure_bcs, t)
+            state_fresh = dict(state_fresh, pHY=ph)
+        # bulk pass: LOCAL fills only (uncut axes — no collectives);
+        # w diagnosed from the locally-filled solution is exact for every
+        # interior cell further than H from a cut-axis shard edge
+        local_axes = tuple(a for a in (0, 1, 2) if grid.dist[a] is None)
+        locs = self._locs()
+        sol_local = {name: fill_halos(arr, grid, locs[name], self.bcs[name],
+                                      t, axes=local_axes)
+                     for name, arr in sol_stale.items()}
+        if self.immersed_boundary is not None:
+            sol_local = self.immersed_boundary.mask_state(
+                self, dict(state, solution=sol_local))["solution"]
+        w_local = self.compute_w(sol_local, axes=local_axes)
+        G = self.tendencies(dict(state_fresh, solution=sol_local,
+                                 w=w_local))
+
+        def _slc3(x, axis, start, size):
+            if getattr(x, "ndim", 0) == 3:
+                sl = [slice(None)] * 3
+                sl[axis] = slice(start, min(start + size, x.shape[axis]))
+                return x[tuple(sl)]
+            return x
+
+        for axis in (0, 1):
+            if grid.dist[axis] is None:
+                continue
+            H = grid.halo[axis]
+            N = grid.shape[axis]
+            for start_int in (0, N - H):  # first/last H interior cells
+                gsub = grid.subgrid_along(axis, start_int, H)
+                ms = _copy.copy(self)
+                ms.grid = gsub
+                if self.immersed_boundary is not None:
+                    ms.immersed_boundary = gsub.immersed
+                sub = {k: (jax.tree_util.tree_map(
+                           lambda x: _slc3(x, axis, start_int, 3 * H), v)
+                           if k in ("solution", "diffusivities", "pHY",
+                                    "w", "eta")
+                           else v)
+                       for k, v in state_fresh.items() if k != "particles"}
+                Gs = ms.tendencies(sub)
+                sl = [slice(None)] * 3
+                sl[axis] = slice(start_int + H, start_int + 2 * H)
+                ssl = [slice(None)] * 3
+                ssl[axis] = slice(H, 2 * H)
+                G = {name: G[name].at[tuple(sl)].set(Gs[name][tuple(ssl)])
+                     for name in G}
+        return G, state_fresh
 
     # -- tendencies -------------------------------------------------------------
     def tendencies(self, state):
@@ -290,7 +404,10 @@ class HydrostaticFreeSurfaceModel:
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
         chi = jnp.where(euler, -0.5, self.ab2_chi)
 
-        G = self.tendencies(state)
+        if getattr(self, "halo_overlap", False):
+            G, state = self.tendencies_overlapped(state)
+        else:
+            G = self.tendencies(state)
         G_prev = state["G_prev"]
 
         if self._explicit_fs:

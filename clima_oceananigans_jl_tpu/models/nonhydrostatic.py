@@ -198,8 +198,25 @@ class NonhydrostaticModel:
         update_nonhydrostatic_model_state.jl:14-37). Under
         ``halo_overlap`` (set by DistributedModel) the fills and aux are
         DEFERRED into the next step's ``tendencies_overlapped`` so the
-        exchange collectives overlap the bulk tendency compute."""
+        exchange collectives overlap the bulk tendency compute. The
+        communication-FREE parts are not deferred, keeping every interior
+        point bit-identical to the plain step's: local-axis fills (slab
+        writes), cut-axis wall faces (``impose_cut_wall_faces``), and
+        pointwise immersed masking with shard-local masks."""
         if getattr(self, "halo_overlap", False):
+            from ..boundary_conditions.bcs import impose_cut_wall_faces
+            t = state["clock"].time
+            locs = self._locs()
+            dist = getattr(self.grid, "dist", (None, None, None))
+            local_axes = tuple(a for a in (0, 1, 2) if dist[a] is None)
+            sol = {name: impose_cut_wall_faces(
+                       fill_halos(arr, self.grid, locs[name],
+                                  self.bcs[name], t, axes=local_axes),
+                       self.grid, locs[name], self.bcs[name], t)
+                   for name, arr in state["solution"].items()}
+            state = dict(state, solution=sol)
+            if self.immersed_boundary is not None:
+                state = self.immersed_boundary.mask_state(self, state)
             return state
         t = state["clock"].time
         sol = self.fill_all_halos(state["solution"], t)
@@ -226,13 +243,22 @@ class NonhydrostaticModel:
         The solution entering this function carries stale halos (see
         ``update_state``); returns ``(G, state_fresh)`` where
         ``state_fresh`` holds the exchanged solution + recomputed aux.
-        Not supported with immersed boundaries, background fields or
-        particles (asserted at DistributedModel construction)."""
+        Immersed boundaries are supported: masking is pointwise with the
+        shard-local masks (no collectives), and the edge strips slice the
+        masks through ``ImmersedGrid.subgrid_along``. Background fields
+        materialize from (absolute) strip coordinates, so their cross
+        terms get the same bulk/strip treatment as the primary advection.
+        Particles remain unsupported (asserted at DistributedModel
+        construction)."""
         import copy as _copy
         grid = self.grid
         t = state["clock"].time
         sol_stale = state["solution"]
         sol_fresh = self.fill_all_halos(sol_stale, t)
+        if self.immersed_boundary is not None:
+            # fill → mask → aux, exactly update_state's ordering
+            sol_fresh = self.immersed_boundary.mask_state(
+                self, dict(state, solution=sol_fresh))["solution"]
         state_fresh = self._aux_state(state, sol_fresh)
         # bulk pass: LOCAL fills (uncut axes — cheap copies, no
         # collectives) applied synchronously; only the exchanged cut-axis
@@ -244,6 +270,9 @@ class NonhydrostaticModel:
         sol_local = {name: fill_halos(arr, grid, locs[name], self.bcs[name],
                                       t, axes=local_axes)
                      for name, arr in sol_stale.items()}
+        if self.immersed_boundary is not None:
+            sol_local = self.immersed_boundary.mask_state(
+                self, dict(state, solution=sol_local))["solution"]
         G = self.tendencies(dict(state_fresh, solution=sol_local))
 
         def _slc3(x, axis, start, size):
@@ -262,6 +291,8 @@ class NonhydrostaticModel:
                 gsub = grid.subgrid_along(axis, start_int, H)
                 ms = _copy.copy(self)
                 ms.grid = gsub
+                if self.immersed_boundary is not None:
+                    ms.immersed_boundary = gsub.immersed
                 ms.fused_advection = False  # slabs are tiny; jnp path
                 sub = {k: (jax.tree_util.tree_map(
                            lambda x: _slc3(x, axis, start_int, 3 * H), v)

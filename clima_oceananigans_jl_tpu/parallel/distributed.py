@@ -39,13 +39,15 @@ class DistributedModel:
     """Wraps a model built on a global grid; steps run shard_mapped.
 
     ``overlap_halo=True`` enables the interior/edge-split step
-    (models/nonhydrostatic.py ``tendencies_overlapped``): halo-exchange
-    ppermutes are issued with no data dependency on the bulk tendency
-    compute, so XLA schedules the collectives concurrently with it —
-    the TPU analog of the reference's nonblocking-MPI interior/boundary
-    kernel split (halo_communication.jl:68-86). Requires a model with
-    that method, no immersed boundary / background fields / particles,
-    and local shards at least 2 halo-widths wide on each cut axis.
+    (``tendencies_overlapped`` on the nonhydrostatic and hydrostatic
+    models): halo-exchange ppermutes are issued with no data dependency
+    on the bulk tendency compute, so XLA schedules the collectives
+    concurrently with it — the TPU analog of the reference's
+    nonblocking-MPI interior/boundary kernel split
+    (halo_communication.jl:68-86). Supports immersed boundaries
+    (shard-local masks, strip-sliced) and background fields; requires a
+    model with that method, no particles, and local shards at least
+    2 halo-widths wide on each cut axis.
     """
 
     def __init__(self, model, mesh, overlap_halo=False):
@@ -63,12 +65,9 @@ class DistributedModel:
             if not hasattr(model, "tendencies_overlapped"):
                 raise ValueError("overlap_halo: model has no "
                                  "tendencies_overlapped")
-            if (getattr(model, "immersed_boundary", None) is not None
-                    or getattr(model, "background_fields", None)
-                    or getattr(model, "particles", None) is not None):
+            if getattr(model, "particles", None) is not None:
                 raise ValueError("overlap_halo is not supported with "
-                                 "immersed boundaries, background fields "
-                                 "or particles")
+                                 "particles")
             for axis, nsh in zip((0, 1), self.mesh_shape):
                 if nsh > 1 and (self.local_grid.shape[axis]
                                 < 2 * self.local_grid.halo[axis]):
