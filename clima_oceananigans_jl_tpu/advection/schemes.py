@@ -592,7 +592,10 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
             idx = lax.broadcasted_iota(jnp.int32, rec.shape, axis)
             in_l = (idx >= masks[1][0]) & (idx <= masks[1][1])
             in_r = (idx >= masks[2][0]) & (idx <= masks[2][1])
-            rec = jnp.where(jnp.where(sel, in_l, in_r), rec, lo_val)
+            # pure i1 logic (not a bool-valued where) — Mosaic cannot
+            # lower a select-produced i8 mask back to an i1 condition
+            # (vector trunci) on large 3D windows
+            rec = jnp.where((sel & in_l) | (~sel & in_r), rec, lo_val)
         if clear is not None:
             rec = jnp.where(clear, rec, a[2])  # a[2] = 1st-order upwind
         return vel * rec
