@@ -1,5 +1,11 @@
 """Shallow-water benchmark (reference benchmark_shallow_water_model.jl:
-16384^2 on V100 = 681 ms/step FP64, ~394 M pts/s)."""
+16384^2 on V100 = 681 ms/step FP64, ~394 M pts/s).
+
+Prints a human line plus ONE JSON line in the bench.py artifact format
+(vs_baseline against the reference's V100 anchor above), so the
+measurement is a reproducible driver-grade record (VERDICT r2 item 8).
+"""
+import json
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np
@@ -26,3 +32,9 @@ for _ in range(reps):
 jax.block_until_ready(state)
 d = (time.perf_counter()-t0)/reps
 print(f"SW {n}^2 RK3: {d*1e3:.1f} ms/step -> {n*n/d/1e6:.0f} M pts/s", flush=True)
+print(json.dumps({
+    "metric": f"grid-points/s/chip ({n}^2 shallow-water WENO5 RK3, fp32)",
+    "value": round(n * n / d),
+    "unit": "points/s",
+    "vs_baseline": round(n * n / d / 394e6, 3),
+}), flush=True)

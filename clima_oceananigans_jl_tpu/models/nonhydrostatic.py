@@ -146,6 +146,15 @@ class NonhydrostaticModel:
         return obj
 
     # -- state ----------------------------------------------------------------
+    @property
+    def g_interior(self):
+        """True when G_prev is stored HALO-FREE (nx, ny, nz): the fused
+        AB2 kernel reads only G interiors, so halo storage costs a
+        ~1 GB/step pad + halo-window DMA for nothing (fused_step.py)."""
+        from ..ops.fused_tendencies import z_halo_free_ok
+        return self.fused_step and z_halo_free_ok(self.grid,
+                                                  self.bcs.get("w"))
+
     def prognostic_names(self):
         return ("u", "v", "w") + self.tracer_names
 
@@ -164,7 +173,10 @@ class NonhydrostaticModel:
             f = new_field(g, locs[name], self.bcs[name])
             sol[name] = set_field(f, g, values.get(name, 0.0)).data
         clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
-        zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
+        if self.g_interior:
+            zeros = {k: jnp.zeros(g.shape, g.dtype) for k in sol}
+        else:
+            zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
         state = dict(solution=sol, clock=clock, G_prev=zeros,
                      pNHS=jnp.zeros(g.total_shape, g.dtype),
                      previous_dt=jnp.full((), -1.0, g.dtype))
@@ -578,13 +590,25 @@ class NonhydrostaticModel:
     def _ab2_step(self, state, dt):
         clock0 = state["clock"]
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
+        if (not self.fused_step
+                and state["G_prev"]["u"].shape != state["solution"]["u"].shape):
+            # state carries the fused path's halo-free G layout but this
+            # model runs the general substep — re-inflate with halos
+            pad = tuple((h, h) for h in self.grid.halo)
+            state = dict(state, G_prev={k: jnp.pad(v, pad)
+                                        for k, v in state["G_prev"].items()})
         if getattr(self, "halo_overlap", False):
             G, state = self.tendencies_overlapped(state)
             sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                               self.ab2_chi, euler)
         elif self.fused_step:
             # tendencies + AB2 substep in one Pallas pass (closure is
-            # None by the fused_step gate, so implicit_step is a no-op)
+            # None by the fused_step gate, so implicit_step is a no-op).
+            # NOTE a fill-first reorder (fill halos before projection so
+            # div/grad read halos instead of roll-on-interior) measured
+            # 522 vs 679 M pts/s on v5e: the fast path's async interior-
+            # slice copies overlap the FFT matmuls, while extra fills
+            # serialize — keep the roll-based fast projection.
             from ..ops.fused_step import fused_ab2_advance
             sol, G = fused_ab2_advance(self, state, dt, euler)
         else:

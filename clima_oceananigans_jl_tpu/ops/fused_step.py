@@ -61,8 +61,12 @@ def fused_step_ok(model):
 
 
 def fused_ab2_advance(model, state, dt, euler, interpret=None):
-    """One fused pass: returns (sol_new, G) as with-halo arrays (x/y halo
-    regions zeroed — the caller's update_state refills them).
+    """One fused pass: returns (sol_new, G) — sol_new as with-halo arrays
+    (x/y halo regions zeroed — the caller's update_state refills them),
+    and G in the layout of ``state["G_prev"]``: HALO-FREE (nx, ny, nz)
+    under z_slim (the kernel only ever reads G_prev interiors, so storing
+    halos costs a 1 GB/step jnp.pad plus halo-window DMA for nothing),
+    with-halo otherwise.
     Bit-compatible with tendencies() + ab2_substep() on the interior."""
     from ..advection.schemes import reduced_order_masks
     from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
@@ -113,10 +117,33 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     c2 = (0.5 + chi).astype(grid.dtype).reshape(1, 1)
     dts = jnp.asarray(dt, grid.dtype).reshape(1, 1)
 
-    tx, ty = _tile_sizes(nx, ny, hx, hy, zk, itemsize=sol["u"].dtype.itemsize,
-                         budget_bytes=int(12_000_000 / max(4, nfields)))
+    # budget tiles by the DMA window lane count zw, not the slim zk — see
+    # the matching note in fused_tendencies.fused_advective_tendencies.
+    # The bf16-smoothness variant's cast temps measure +20 MB of Mosaic
+    # stack at the 12 MB pick (120.65M vs the 112M scoped-vmem limit), so
+    # it gets a smaller window budget (one tile class down: (16,64) at
+    # 256³ instead of (8,128), 102M of stack).
+    bf16s = bool(getattr(scheme, "bf16_smoothness", False)
+                 or getattr(tracer_scheme, "bf16_smoothness", False))
+    budget = 10_000_000 if bf16s else 12_000_000
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zw, itemsize=sol["u"].dtype.itemsize,
+                         budget_bytes=int(budget / max(4, nfields)))
 
     field_names = ("u", "v", "w") + tuple(names)
+
+    # G layout: under z_slim, G_prev is stored HALO-FREE (nx, ny, nz) —
+    # the kernel reads only G_prev interiors, so halo storage would cost
+    # a jnp.pad of 4 fields (~0.6 GB/step) plus ~55% halo-window DMA
+    # amplification on the G_prev reads, all discarded. The blocked
+    # (tx, ty, nz) windows are tiling-aligned (ty ≡ 0 mod 8, nz full).
+    g_interior = z_slim
+    gp_interior = tuple(G_prev["u"].shape[-3:]) == (nx, ny, nz)
+    if gp_interior and not z_slim:
+        # cross-config state (e.g. checkpoint written under z_slim,
+        # resumed with CLIMA_NO_ZSLIM): re-inflate G_prev with halos
+        G_prev = {n: jnp.pad(v, ((hx, hx), (hy, hy), (hz, hz)))
+                  for n, v in G_prev.items()}
+        gp_interior = False
 
     def kernel(c1_ref, c2_ref, dt_ref, *refs):
         prog = refs[:nfields]
@@ -144,14 +171,16 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
                                 for k in range(len(names))]
         for k in range(nfields):
             g_int = G[k][sl]
-            outs[k][:] = probs[k][sl] + dtv * (c1s * g_int
-                                               - c2s * _zslim_in(
-                                                   gp[k][:], hz, zk)[sl])
+            gpk = gp[k][:] if gp_interior else _zslim_in(gp[k][:],
+                                                         hz, zk)[sl]
+            outs[k][:] = probs[k][sl] + dtv * (c1s * g_int - c2s * gpk)
             outs[nfields + k][:] = g_int
 
     win = pl.BlockSpec(
         (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
         lambda i, j: (i * tx, j * ty, z_off))
+    gp_win = (pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0))
+              if gp_interior else win)
     smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                         memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((tx, ty, zk), lambda i, j: (i, j, 0))
@@ -160,20 +189,23 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     inputs = [sol[n] for n in field_names]
     if has_ph:
         inputs.append(state["pHY"])
-    inputs += [G_prev[n] for n in field_names]
 
     outs = pl.pallas_call(
         kernel,
         grid=(nx // tx, ny // ty),
-        in_specs=[smem] * 3 + [win] * len(inputs),
+        in_specs=([smem] * 3 + [win] * len(inputs)
+                  + [gp_win] * nfields),
         out_specs=[out_spec] * (2 * nfields),
         out_shape=[out_shape] * (2 * nfields),
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(c1, c2, dts, *inputs)
+    )(c1, c2, dts, *inputs, *[G_prev[n] for n in field_names])
 
     pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
     sol_new = {n: jnp.pad(outs[k], pad) for k, n in enumerate(field_names)}
-    G = {n: jnp.pad(outs[nfields + k], pad)
-         for k, n in enumerate(field_names)}
+    if g_interior:
+        G = {n: outs[nfields + k] for k, n in enumerate(field_names)}
+    else:
+        G = {n: jnp.pad(outs[nfields + k], pad)
+             for k, n in enumerate(field_names)}
     return sol_new, G

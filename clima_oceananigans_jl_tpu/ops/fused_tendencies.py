@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,8 @@ from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 #: scoped-vmem ceiling for the fused kernels (default is 16 MB; v5e has
 #: 128 MB physical VMEM). The WENO kernels keep ~30 window-sized temps
 #: live, so realistic windows need ~20-60 MB of compiler "stack".
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 112 * 1024 * 1024  # of 128M physical; bf16-smoothness AB2
+                                 # kernel stack measures 102M at (16,64)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
@@ -207,8 +209,9 @@ def _shift_rmasks(rmasks, hz):
 #: for free (window size nz must then be a 128-multiple or Mosaic may
 #: reject the unaligned lane offset). False: full (…, nz+2hz) windows,
 #: sliced to nz lanes in-kernel (always compiles; costs one lane-shift
-#: relayout per input block). Flipped at bench time on real TPU.
-Z_SLIM_DMA = False
+#: relayout per input block). CLIMA_ZSLIM_DMA=1 enables the DMA variant
+#: (A/B'd at bench time on real TPU).
+Z_SLIM_DMA = bool(os.environ.get("CLIMA_ZSLIM_DMA"))
 
 
 def _zslim_in(block, hz, nz):
@@ -415,7 +418,12 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
                          reduced_masks=rmasks or None)
     names = list(tracers)
     n_out = 3 + len(names)
-    tx, ty = _tile_sizes(nx, ny, hx, hy, zk, itemsize=u.dtype.itemsize,
+    # size tiles by the ACTUAL DMA window lane count (zw, not the slim
+    # in-kernel zk): under z_slim the inputs still carry nz+2hz lanes
+    # padded to a 128-multiple, and budgeting with zk undercounts VMEM by
+    # pad(zt)/pad(nz) (1.5x at 256^3) — a scoped-vmem OOM that surfaces
+    # as a silent multi-minute compile hang on real TPUs
+    tx, ty = _tile_sizes(nx, ny, hx, hy, zw, itemsize=u.dtype.itemsize,
                          budget_bytes=int(12_000_000 / max(4, n_out)))
 
     def kernel(u_ref, v_ref, w_ref, *refs):
