@@ -220,3 +220,98 @@ def tracer_diffusion(c, grid, name, closure, diffusivities=None):
     return div_kappa_grad(c, grid, CENTER, kap, kap_z,
                           vertical=not closure.vertically_implicit,
                           kappa_z_at_faces=hasattr(closure, "vertical_kappa"))
+
+
+def _max_diffusivity(value, tracer_names=()):
+    """Maximum magnitude of a diffusivity spec: scalar, per-tracer dict,
+    or 3D array (LES diffusivity fields). Grid-callables (evaluated at
+    trace time elsewhere) are excluded — they cannot be bounded here."""
+    if value is None:
+        return 0.0
+    if isinstance(value, dict):
+        names = tracer_names or tuple(value)
+        return max((_max_diffusivity(value.get(n, 0.0)) for n in names),
+                   default=0.0)
+    if callable(value) and not hasattr(value, "ndim"):
+        return 0.0
+    return float(jnp.max(jnp.abs(jnp.asarray(value))))
+
+
+def cell_diffusion_timescale(closure, grid, diffusivities=None,
+                             tracer_names=()):
+    """min over closures/fields of Δ²/max(ν, κ) — the diffusive stability
+    timescale (reference
+    /root/reference/src/TurbulenceClosures/turbulence_closure_diagnostics.jl).
+
+    Semantics matched to the reference: horizontal diffusivities are
+    limited by the minimum horizontal spacing, vertical ones by min Δz;
+    a closure with vertically-implicit time discretization does not limit
+    Δt through its vertical part; biharmonic closures limit by Δ⁴/ν.
+    Returns +inf when nothing limits (no closure / all implicit)."""
+    import numpy as np
+    from ..grids.topology import FLAT
+
+    if closure is None:
+        return np.inf
+    if isinstance(closure, (tuple, list)):
+        diffs = diffusivities if diffusivities is not None \
+            else (None,) * len(closure)
+        return min(cell_diffusion_timescale(c, grid, d, tracer_names)
+                   for c, d in zip(closure, diffs))
+
+    def _min_sp(axis):
+        return float(jnp.min(jnp.asarray(grid.spacing(axis, CENTER))))
+
+    h_sp = [_min_sp(a) for a in (0, 1) if grid.topology[a] is not FLAT]
+    dh = min(h_sp) if h_sp else np.inf
+    dz = _min_sp(2) if grid.topology[2] is not FLAT else np.inf
+
+    def ts(delta, kap, power=2):
+        if kap > 0.0 and np.isfinite(delta):
+            return delta ** power / kap
+        return np.inf
+
+    if isinstance(closure, ScalarBiharmonicDiffusivity):
+        d = dh if closure.formulation == "horizontal" else min(dh, dz)
+        kap = max(_max_diffusivity(closure.nu),
+                  _max_diffusivity(closure.kappa, tracer_names))
+        return ts(d, kap, power=4)
+
+    if isinstance(closure, ScalarDiffusivity):
+        kap_h = max(_max_diffusivity(closure.nu),
+                    _max_diffusivity(closure.kappa, tracer_names))
+        t = ts(dh, kap_h)
+        if not closure.vertically_implicit:
+            nu_z = closure.nu_z if closure.nu_z is not None else closure.nu
+            kz = closure.kappa_z if closure.kappa_z is not None \
+                else closure.kappa
+            kap_z = max(_max_diffusivity(nu_z),
+                        _max_diffusivity(kz, tracer_names))
+            t = min(t, ts(dz, kap_z))
+        return t
+
+    # diffusivity-field closures (LES / vertical-mixing / GM-Redi): the
+    # current νₑ/κₑ fields live in `diffusivities` (state["diffusivities"])
+    t = np.inf
+    if diffusivities is None:
+        return t
+    kap = 0.0
+    if hasattr(closure, "nu"):
+        kap = _max_diffusivity(closure.nu(diffusivities))
+    if hasattr(closure, "kappa_for_tracer"):
+        kap = max(kap, max((_max_diffusivity(
+            closure.kappa_for_tracer(n, diffusivities))
+            for n in tracer_names), default=0.0))
+    # isotropic / horizontal part
+    iso_d = dh if closure.vertically_implicit else min(dh, dz)
+    t = min(t, ts(iso_d, kap))
+    if not closure.vertically_implicit:
+        kz = 0.0
+        if hasattr(closure, "vertical_nu"):
+            kz = _max_diffusivity(closure.vertical_nu(diffusivities))
+        if hasattr(closure, "vertical_kappa"):
+            kz = max(kz, max((_max_diffusivity(
+                closure.vertical_kappa(n, diffusivities))
+                for n in tracer_names), default=0.0))
+        t = min(t, ts(dz, kz))
+    return t

@@ -32,21 +32,17 @@ CFL = AdvectiveCFL
 
 
 class DiffusiveCFL:
-    """CFL_diff = Δt · ν / min(Δ)² (reference cfl.jl:29-46)."""
+    """CFL_diff = Δt / cell_diffusion_timescale (reference cfl.jl:29-46);
+    accounts for every closure in the tuple, LES diffusivity fields, and
+    vertically-implicit discretizations (which do not limit)."""
 
     def __init__(self, dt=None):
         self.dt = dt
 
     def __call__(self, sim):
-        model = sim.model
-        closure = getattr(model, "closure", None)
-        if closure is None:
-            return 0.0
-        nu = getattr(closure, "nu", 0.0)
-        nu = float(jnp.max(jnp.asarray(nu))) if not isinstance(nu, dict) else \
-            max(float(jnp.max(jnp.asarray(v))) for v in nu.values())
-        d = model.grid.min_spacing()
-        return float(sim.dt * nu / d ** 2)
+        scale = float(sim.model.cell_diffusion_timescale(sim.state))
+        dt = sim.dt if self.dt is None else self.dt
+        return 0.0 if scale == float("inf") else float(dt / scale)
 
 
 class StateChecker:

@@ -190,7 +190,7 @@ class RectilinearGrid:
         """Interior view of a with-halo array (last-index convention: N
         points). Arrays already of interior shape (e.g. the fused AB2
         step's halo-free G storage) pass through unchanged."""
-        if tuple(data.shape[-3:]) == tuple(self.shape):
+        if data.ndim == 3 and tuple(data.shape) == tuple(self.shape):
             return data
         sl = tuple(slice(h, h + n) for h, n in zip(self.halo, self.shape))
         return data[sl]

@@ -471,6 +471,14 @@ class HydrostaticFreeSurfaceModel:
         return new_state
 
     # -- diagnostics ---------------------------------------------------------------
+    def cell_diffusion_timescale(self, state):
+        """min Δ²/max(ν, κ) over this model's closures (reference
+        turbulence_closure_diagnostics.jl); +inf when nothing limits."""
+        from ..closures.scalar_diffusivity import cell_diffusion_timescale
+        return cell_diffusion_timescale(self.closure, self.grid,
+                                        state.get("diffusivities"),
+                                        self.tracer_names)
+
     def cell_advection_timescale(self, state):
         sol = state["solution"]
         grid = self.grid

@@ -376,6 +376,13 @@ class ShallowWaterModel:
             state = dict(state, particles=p.step(self.grid, vels, dt, fields))
         return state
 
+    def cell_diffusion_timescale(self, state):
+        """min Δ²/max(ν, κ) over this model's closures (reference
+        turbulence_closure_diagnostics.jl); +inf when nothing limits."""
+        from ..closures.scalar_diffusivity import cell_diffusion_timescale
+        return cell_diffusion_timescale(self.closure, self.grid, None,
+                                        self.tracer_names)
+
     def cell_advection_timescale(self, state):
         """min(Δ / (|u| + √(gh))) — gravity-wave-aware CFL timescale."""
         sol = state["solution"]

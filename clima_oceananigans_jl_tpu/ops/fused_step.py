@@ -65,8 +65,8 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     (x/y halo regions zeroed — the caller's update_state refills them),
     and G in the layout of ``state["G_prev"]``: HALO-FREE (nx, ny, nz)
     under z_slim (the kernel only ever reads G_prev interiors, so storing
-    halos costs a 1 GB/step jnp.pad plus halo-window DMA for nothing),
-    with-halo otherwise.
+    halos costs a ~0.6 GB/step jnp.pad plus ~55% halo-window DMA
+    amplification on the G_prev reads, for nothing), with-halo otherwise.
     Bit-compatible with tendencies() + ab2_substep() on the interior."""
     from ..advection.schemes import reduced_order_masks
     from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw

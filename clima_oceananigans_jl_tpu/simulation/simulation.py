@@ -65,8 +65,12 @@ class TimeStepWizard:
         self.min_dt = min_dt
 
     def __call__(self, sim):
-        scale = sim.model.cell_advection_timescale(sim.state)
-        new_dt = self.cfl * float(scale)
+        new_dt = self.cfl * float(sim.model.cell_advection_timescale(sim.state))
+        if np.isfinite(self.diffusive_cfl):
+            # clamp by the diffusion timescale too (reference
+            # time_step_wizard.jl:44-52 new_time_step)
+            diff_scale = float(sim.model.cell_diffusion_timescale(sim.state))
+            new_dt = min(new_dt, self.diffusive_cfl * diff_scale)
         new_dt = min(self.max_change * sim.dt, new_dt)
         new_dt = max(self.min_change * sim.dt, new_dt)
         sim.dt = float(np.clip(new_dt, self.min_dt, self.max_dt))

@@ -210,23 +210,47 @@ def v_cycle(levels, b, n_pre=1, n_post=1, n_coarse=12, omega=None):
     return x
 
 
+def _rb_ssor(A, dinv, red, r):
+    """Symmetric red-black SSOR application M⁻¹r on N = −A from x = 0:
+    a palindromic red→black→red exact-GS sweep (with red-black ordering a
+    forward+backward GS pair collapses to this 3-color sweep — the
+    repeated middle color is idempotent). Symmetric positive definite, so
+    a valid CG preconditioner; 2 extra matvecs per application buy
+    roughly half the iterations on irregular (immersed-column) matrices —
+    the TPU-friendly stand-in for the reference's ILU
+    (sparse_preconditioners.jl: ilu/sparse-inverse menus are pointer-
+    chasing host constructions XLA cannot trace)."""
+    x = jnp.where(red, dinv * r, 0.0)
+    res = r + A.apply(x)  # r − N x
+    x = x + jnp.where(~red, dinv * res, 0.0)
+    res = r + A.apply(x)
+    return x + jnp.where(red, dinv * res, 0.0)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HeptadiagonalIterativeSolver:
-    """CG (Jacobi-preconditioned) on a StencilMatrix A plus the reference's
+    """Preconditioned CG on a StencilMatrix A plus the reference's
     Δt-dependent diagonal: solve ``[A + (C + D/Δt²) I] x = b`` given the
     face couplings in A and cell arrays C, D
     (heptadiagonal_iterative_solver.jl:29-66; the reference also defers
-    the D/Δt² update to solve time)."""
+    the D/Δt² update to solve time).
+
+    ``preconditioner``: "jacobi" (diagonal, default — the reference's
+    default menu entry, sparse_preconditioners.jl), "ssor" (symmetric
+    red-black Gauss-Seidel, the matrix-free stand-in for the reference's
+    ILU on irregular matrices), or None."""
 
     A: StencilMatrix
     C: object  # array | scalar
     D: object  # array | scalar
     tolerance: float = 1e-10
     maxiter: int = 1000
+    preconditioner: object = "jacobi"
 
     def tree_flatten(self):
-        return (self.A, self.C, self.D), (self.tolerance, self.maxiter)
+        return (self.A, self.C, self.D), (self.tolerance, self.maxiter,
+                                          self.preconditioner)
 
     @classmethod
     def tree_unflatten(cls, static, leaves):
@@ -237,15 +261,23 @@ class HeptadiagonalIterativeSolver:
         extra = self.C + (self.D / (dt * dt) if dt is not None else 0.0)
         return StencilMatrix(self.A.L, c0 + extra)
 
-    def solve(self, b, dt=None, x0=None, axis_names=()):
-        A = self._full(dt)
+    def _M(self, A, shape):
         dinv = _safe_inv(-A.diag())
+        if self.preconditioner == "ssor":
+            red = _checkerboard(shape)
+            return lambda r: _rb_ssor(A, dinv, red, r)
+        if self.preconditioner == "jacobi":
+            return lambda r: dinv * r
+        return None
+
+    def solve(self, b, dt=None, x0=None, axis_names=(), return_stats=False):
+        A = self._full(dt)
         x0 = jnp.zeros_like(b) if x0 is None else x0
         x, it, res2 = cg_solve(lambda v: -A.apply(v), -b, x0,
-                               M=lambda r: dinv * r,
+                               M=self._M(A, b.shape),
                                reltol=self.tolerance, maxiter=self.maxiter,
                                axis_names=axis_names)
-        return x
+        return (x, it, res2) if return_stats else x
 
 
 @jax.tree_util.register_pytree_node_class

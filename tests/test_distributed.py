@@ -550,3 +550,76 @@ def test_distributed_near_global_flagship_config():
     a = np.asarray(s_single["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     b = np.asarray(s_dist["eta"])[g.Hx:g.Hx + g.Nx, g.Hy:g.Hy + g.Ny]
     assert np.allclose(a, b, atol=1e-14)
+
+
+@needs8
+def test_distributed_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/restore across mesh shapes (VERDICT r3 #10; reference
+    checkpointer.jl:9-100 + run.jl:60-91): a checkpoint written under a
+    (2,2) mesh restores on ONE device and continues identically, and a
+    single-device checkpoint restores under the mesh — both matching an
+    uninterrupted 10-step single-device run. Exercises the AB2 history
+    (G_prev, previous_dt) through gather/scatter."""
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel
+    from clima_oceananigans_jl_tpu.output.checkpointer import (
+        _flatten_state, restore_state)
+
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1.0, 1.0, 1.0),
+                           topology=(PERIODIC, PERIODIC, PERIODIC),
+                           dtype=jnp.float64)
+    model = NonhydrostaticModel(grid, tracers=("c",))
+    key = jax.random.PRNGKey(3)
+    ku, kv, kc = jax.random.split(key, 3)
+    state0 = model.initial_state(
+        u=1e-2 * jax.random.normal(ku, grid.shape, jnp.float64),
+        v=1e-2 * jax.random.normal(kv, grid.shape, jnp.float64),
+        c=jax.random.normal(kc, grid.shape, jnp.float64))
+    dt = jnp.float64(1e-3)
+    step = jax.jit(model.step)
+    # the model may rebuild the grid with scheme-sized halos; all state
+    # arrays (and the gather stitching) use model.grid's halo convention
+    mg = model.grid
+
+    # the uninterrupted reference: 10 single-device steps
+    s_ref = state0
+    for _ in range(10):
+        s_ref = step(s_ref, dt)
+
+    mesh = make_mesh((2, 2))
+    dmodel = DistributedModel(model, mesh)
+
+    def check(s, atol=1e-10):
+        assert int(s["clock"].iteration) == 10
+        for name in ("u", "v", "w", "c"):
+            a = np.asarray(mg.interior(s_ref["solution"][name]))
+            b = np.asarray(mg.interior(s["solution"][name]))
+            assert np.allclose(a, b, atol=atol), name
+            ga = np.asarray(mg.interior(s_ref["G_prev"][name]))
+            gb = np.asarray(mg.interior(s["G_prev"][name]))
+            assert np.allclose(ga, gb, atol=atol), f"G_prev[{name}]"
+
+    # -- save under the (2,2) mesh, restore on 1 device ------------------
+    s_dist = dmodel.scatter_state(state0)
+    for _ in range(5):
+        s_dist = dmodel.step(s_dist, dt)
+    path = tmp_path / "ckpt_mesh.npz"
+    np.savez(path, **_flatten_state(dmodel.gather_state(s_dist)))
+
+    template = step(state0, dt)  # full post-step state structure
+    s = restore_state(template, str(path))
+    assert float(s["previous_dt"]) == float(dt)
+    for _ in range(5):
+        s = step(s, dt)
+    check(s)
+
+    # -- save on 1 device, restore under the (2,2) mesh ------------------
+    s_single = state0
+    for _ in range(5):
+        s_single = step(s_single, dt)
+    path2 = tmp_path / "ckpt_single.npz"
+    np.savez(path2, **_flatten_state(s_single))
+
+    s2 = dmodel.scatter_state(restore_state(template, str(path2)))
+    for _ in range(5):
+        s2 = dmodel.step(s2, dt)
+    check(dmodel.gather_state(s2))

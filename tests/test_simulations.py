@@ -71,6 +71,49 @@ def test_time_step_wizard_adapts_dt():
     assert sim.dt <= dt0 * 1.5 ** 7  # growth clamped by max_change
 
 
+def test_time_step_wizard_diffusive_cfl_limits_dt():
+    """With a large ν, the diffusion timescale (Δ²/ν) — not the advective
+    one — must clamp Δt (reference time_step_wizard.jl:44-52 takes
+    min(advective, diffusive) before the change clamps)."""
+    from clima_oceananigans_jl_tpu.closures.scalar_diffusivity import (
+        ScalarDiffusivity, cell_diffusion_timescale)
+    grid = RectilinearGrid(size=(16, 16, 1), x=(0, 2 * np.pi), y=(0, 2 * np.pi),
+                           topology=(PERIODIC, PERIODIC, FLAT),
+                           dtype=jnp.float64)
+    nu = 0.37
+    closure = ScalarDiffusivity(nu=nu)
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=10.0,
+                              advection=WENO5(), closure=closure)
+    state = model.initial_state(uh=lambda x, y, z: 0.01 * jnp.sin(x), h=1.0)
+    sim = Simulation(model, state=state, dt=1e-6, stop_iteration=40)
+
+    # hand-computed reference semantics: Δ²/ν with the min spacing
+    d = 2 * np.pi / 16
+    expected_scale = d ** 2 / nu
+    got = cell_diffusion_timescale(closure, grid, None, ())
+    assert np.isclose(got, expected_scale, rtol=1e-12)
+
+    wiz = TimeStepWizard(cfl=10.0, diffusive_cfl=0.2, max_change=10.0)
+    sim.callbacks["wizard"] = Callback(wiz, IterationInterval(1))
+    sim.run()
+    # advective CFL alone would allow a much larger Δt; the diffusive
+    # limit must cap it at diffusive_cfl * Δ²/ν
+    assert sim.dt <= 0.2 * expected_scale * (1 + 1e-12)
+    assert sim.dt > 0.19 * expected_scale  # and it actually reached the cap
+
+    # vertically-implicit closures do not limit through their vertical part
+    impl = ScalarDiffusivity(nu_z=1e6, nu=0.0, kappa=0.0,
+                             time_discretization="vertically_implicit")
+    assert cell_diffusion_timescale(impl, grid, None, ()) == np.inf
+
+    # closure tuples take the min; biharmonic limits by Δ⁴/ν
+    from clima_oceananigans_jl_tpu.closures.scalar_diffusivity import (
+        ScalarBiharmonicDiffusivity)
+    bi = ScalarBiharmonicDiffusivity(nu=1e-4)
+    t_tuple = cell_diffusion_timescale((closure, bi), grid, (None, None), ())
+    assert np.isclose(t_tuple, min(expected_scale, d ** 4 / 1e-4), rtol=1e-12)
+
+
 def test_nan_checker_stops_run():
     sim = _sim(stop_iteration=1000, dt=0.01)
     def poison(s):
