@@ -83,7 +83,10 @@ def _build_tables(P, to_f):
     flux divergence ever reads (valid faces are i ∈ [3, n_tot−3] for
     halo 3, the same region the uniform scheme requires).
     """
-    roll = lambda o: jnp.roll(P, -o) if o else P
+    # axis=0 rolls the coordinate dimension: identical to the flat roll for
+    # the 1D jnp-path arrays, and correct for the transposed-layout fused
+    # kernels' 2D (z, y) coordinate rows
+    roll = lambda o: jnp.roll(P, -o, axis=0) if o else P
     vshift = 0 if to_f else 1
     out = {}
     for side in ("left", "right"):

@@ -361,9 +361,15 @@ class WENO5(AdvectionScheme):
         return self._table_eval(v, axis, tables[side])
 
     def _table_eval(self, v, axis, side_tables):
+        from ..ops.stencil import phys_axis
+
         def bx(arr):
+            if getattr(arr, "ndim", 0) > 1:
+                # transposed-layout kernels pass tables as 2D (z, y) rows
+                # that broadcast against the blocks' trailing dims directly
+                return arr.astype(v.dtype)
             shape = [1] * v.ndim
-            shape[axis] = arr.shape[0]
+            shape[phys_axis(axis)] = arr.shape[0]
             return arr.reshape(shape).astype(v.dtype)
 
         ps, bs, ds = [], [], []
@@ -520,12 +526,25 @@ def reduced_order_masks(grid, axis, scheme):
             (H + Nb - 1, H + N - Nb - 1))
 
 
-def _select_reduced(bounds, axis, hi_arr, lo_arr):
+def _iota_offset(grid, axis):
+    """Element offset of the current array's origin in the full array —
+    0 on whole arrays; inside tiled Pallas windows the block's absolute
+    position (a traced program-id product, ops/kernel_grid.KernelGrid),
+    which makes the absolute-index order-reduction bounds expressible in
+    tiled x/y windows."""
+    offs = getattr(grid, "iota_offset", None) if grid is not None else None
+    return 0 if offs is None else offs[axis]
+
+
+def _select_reduced(bounds, axis, hi_arr, lo_arr, offset=0):
     """hi_arr inside [lo, hi] along `axis`, lo_arr outside (static bounds
-    → the compare folds to a constant mask under XLA)."""
+    → the compare folds to a constant mask under XLA; with a traced
+    `offset` it is one cheap VPU compare per element)."""
     import jax.lax as lax
+    from ..ops.stencil import phys_axis
     lo, hi = bounds
-    idx = lax.broadcasted_iota(jnp.int32, hi_arr.shape, axis)
+    idx = lax.broadcasted_iota(jnp.int32, hi_arr.shape,
+                               phys_axis(axis)) + offset
     return jnp.where((idx >= lo) & (idx <= hi), hi_arr, lo_arr)
 
 
@@ -534,14 +553,19 @@ def _immersed_clear(imm, data_loc, axis, to_f, buffer):
     (the whole-array analog of the reference's conditional fluxes,
     conditional_fluxes.jl:1-193: stencils touching solid cells drop to
     the 2nd-order reconstruction; solid-adjacent faces carry zero
-    velocity via the peripheral mask, so their fluxes vanish)."""
+    velocity via the peripheral mask, so their fluxes vanish).
+
+    Masks may be bool (the jnp path) or 0/1 floats (the fused kernels
+    pass masks as field-dtype blocks; summing + one compare avoids
+    boolean-vector rolls, which Mosaic handles poorly)."""
     solid = imm.mask_for(tuple(data_loc))
     lo, hi = (-(buffer + 1), buffer) if to_f else (-buffer, buffer + 1)
     near = solid
     for o in range(lo, hi + 1):
         if o:
-            near = near | shift(solid, o, axis)
-    return ~near
+            s = shift(solid, o, axis)
+            near = (near | s) if solid.dtype == jnp.bool_ else (near + s)
+    return ~near if solid.dtype == jnp.bool_ else (near == 0)
 
 
 def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
@@ -558,6 +582,7 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
     second order (conditional_fluxes.jl).
     """
     masks = reduced_order_masks(grid, axis, scheme) if grid is not None else None
+    ioff = _iota_offset(grid, axis) if masks is not None else 0
     imm = getattr(grid, "immersed", None) if grid is not None else None
     clear = None
     if imm is not None and data_loc is not None and scheme.buffer > 0:
@@ -566,7 +591,8 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
         hi = scheme.sym_to_f(c, axis) if to_f else scheme.sym_to_c(c, axis)
         if masks is not None:
             hi = _select_reduced(masks[0], axis, hi,
-                                 if_(c, axis) if to_f else ic(c, axis))
+                                 if_(c, axis) if to_f else ic(c, axis),
+                                 offset=ioff)
         if clear is not None:
             hi = jnp.where(clear, hi, if_(c, axis) if to_f else ic(c, axis))
         return vel * hi
@@ -588,8 +614,10 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
             rec = scheme._clip(rec, c, axis, to_f)
         if masks is not None:
             import jax.lax as lax
+            from ..ops.stencil import phys_axis
             lo_val = if_(c, axis) if to_f else ic(c, axis)
-            idx = lax.broadcasted_iota(jnp.int32, rec.shape, axis)
+            idx = lax.broadcasted_iota(jnp.int32, rec.shape,
+                                       phys_axis(axis)) + ioff
             in_l = (idx >= masks[1][0]) & (idx <= masks[1][1])
             in_r = (idx >= masks[2][0]) & (idx <= masks[2][1])
             # pure i1 logic (not a bool-valued where) — Mosaic cannot
@@ -614,8 +642,8 @@ def transport(scheme, vel, c, axis, to_f, grid=None, data_loc=None):
         L, R = scheme.left_to_c(c, axis), scheme.right_to_c(c, axis)
     if masks is not None:
         lo = if_(c, axis) if to_f else ic(c, axis)
-        L = _select_reduced(masks[1], axis, L, lo)
-        R = _select_reduced(masks[2], axis, R, lo)
+        L = _select_reduced(masks[1], axis, L, lo, offset=ioff)
+        R = _select_reduced(masks[2], axis, R, lo, offset=ioff)
     if clear is not None:
         # near the immersed boundary drop to FIRST-ORDER UPWIND, not the
         # centered mean: collapsing L=R onto the centered value removes

@@ -176,7 +176,7 @@ def _bvalue(bc, grid, axis, side, loc, t):
 
 
 def _axslice(data, axis, idx):
-    sl = [slice(None)] * 3
+    sl = [slice(None)] * data.ndim  # rank-agnostic (2D free-surface fields)
     sl[axis] = idx
     return tuple(sl)
 
@@ -232,7 +232,7 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
             # ghost = mirror − b·(c_mirror − c_ghost) on the left;
             #       = mirror + b·(c_ghost − c_mirror) on the right
             dist = jnp.stack([cc[m] - cc[g] for g, m in zip(ghosts, mirrors)])
-            shape = [1, 1, 1]
+            shape = [1] * data.ndim  # rank-agnostic (2D free-surface fields)
             shape[axis] = H
             dist = dist.reshape(shape)
             slab = slab - b * dist

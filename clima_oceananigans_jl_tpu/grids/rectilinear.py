@@ -95,6 +95,16 @@ def _build_axis(n, h, topo, extent=None, spec=None, *, dtype):
     df[1:] = centers[1:] - centers[:-1]
     df[0] = df[1] if len(df) > 1 else dc[0]
     regular = bool(np.allclose(dc, dc[0]))
+    if regular:
+        # canonicalize: regular-axis spacing arrays hold EXACTLY extent/n
+        # everywhere (np.diff of linspace varies in the last ulp). This
+        # makes every metric bitwise position-independent, which is what
+        # lets the fused Pallas kernels collapse regular-axis metrics to
+        # compile-time scalars / (y, z) profile rows (ops/kernel_grid.py)
+        # while staying bit-identical to the jnp path.
+        const = float(xF[-1] - xF[0]) / n
+        dc = np.full_like(dc, const)
+        df = np.full_like(df, const)
     to = lambda a: jnp.asarray(a, dtype=dtype)
     return _Axis(n, h, topo, to(ext[:-1]), to(centers), to(dc), to(df),
                  regular, float(xF[-1] - xF[0]))

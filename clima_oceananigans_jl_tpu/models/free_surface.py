@@ -291,33 +291,65 @@ class SplitExplicitFreeSurface:
         w = jnp.asarray(weights, dtype)
         return w / jnp.sum(w)
 
+    @staticmethod
+    def _squeeze_ok(bcs):
+        """True when every BC value is absent or scalar — the rank-2 fast
+        loop's halo fills then never broadcast a rank-3 boundary value."""
+        if bcs is None:
+            return True
+        return all(bc is None or bc.value is None
+                   or isinstance(bc.value, (int, float))
+                   for _a, _s, bc in bcs.sides())
+
     def substep_eta(self, grid, eta_bcs, eta0, GU, GV, U0, V0, dt):
         """The barotropic substep loop (one lax.fori_loop over 2Δt).
 
         Returns (η̅-filtered η, U̅, V̅) — reference
-        split_explicit_free_surface_kernels.jl:15-58 + settings weights."""
+        split_explicit_free_surface_kernels.jl:15-58 + settings weights.
+
+        The loop runs on SQUEEZED rank-2 (x, y) arrays: the (x, y, 1)
+        storage shape puts a size-1 dimension minor-most, and XLA's
+        T(1,128) tiling for it wastes 7/8 of every vector register —
+        measured 43.5 ms vs 6.2 ms for 30 substeps of a 1440×608 η on one
+        v5e chip. Metric arrays are squeezed alongside; the halo-fill
+        slab machinery is rank-agnostic along x/y."""
         g = self.gravitational_acceleration
         n = self.substeps
         dtau = 2.0 * dt / n
         wv = self._weight_vec(self.velocity_weights, eta0.dtype)
         wf = self._weight_vec(self.free_surface_weights, eta0.dtype)
         Hfc, Hcf = column_depths(grid)
+        from ..boundary_conditions.bcs import fill_halos
+        from ..ops import stencil as st
+
+        squeeze = eta0.ndim == 3 and self._squeeze_ok(eta_bcs)
+        sq = (lambda a: a[:, :, 0]) if squeeze else (lambda a: a)
+        msq = (lambda m: m[..., 0] if getattr(m, "ndim", 0) == 3 else m) \
+            if squeeze else (lambda m: m)
+        eta0, U0, V0, GU, GV = map(sq, (eta0, U0, V0, GU, GV))
+        Hfc, Hcf = sq(Hfc), sq(Hcf)
+        dxu, dyv = msq(grid.dx(U_LOC)), msq(grid.dy(V_LOC))
+        dyu, dxv = msq(grid.dy(U_LOC)), msq(grid.dx(V_LOC))
+        az = msq(grid.Az(CENTER))
 
         def body(i, carry):
             eta, U, V, eta_av, U_av, V_av = carry
-            eta = fill2d(eta, grid, ETA_LOC, eta_bcs)
-            U = U + dtau * (-g * Hfc * grad_x(grid, eta) + GU)
-            V = V + dtau * (-g * Hcf * grad_y(grid, eta) + GV)
-            U = fill2d(U, grid, U_LOC, None)
-            V = fill2d(V, grid, V_LOC, None)
-            eta = eta - dtau * div_xy_2d(grid, U, V)
+            eta = fill_halos(eta, grid, ETA_LOC, eta_bcs, axes=(0, 1))
+            U = U + dtau * (-g * Hfc * st.dxf(eta) / dxu + GU)
+            V = V + dtau * (-g * Hcf * st.dyf(eta) / dyv + GV)
+            U = fill_halos(U, grid, U_LOC, None, axes=(0, 1))
+            V = fill_halos(V, grid, V_LOC, None, axes=(0, 1))
+            eta = eta - dtau * (st.dxc(dyu * U) + st.dyc(dxv * V)) / az
             return (eta, U, V, eta_av + wf[i] * eta,
                     U_av + wv[i] * U, V_av + wv[i] * V)
 
         z = jnp.zeros_like(eta0)
-        eta, U, V, eta_av, U_av, V_av = jax.lax.fori_loop(
-            0, n, body, (eta0, U0, V0, z, jnp.zeros_like(U0), jnp.zeros_like(V0)))
-        eta_av = fill2d(eta_av, grid, ETA_LOC, eta_bcs)
+        carry = (eta0, U0, V0, z, jnp.zeros_like(U0), jnp.zeros_like(V0))
+        carry = jax.lax.fori_loop(0, n, body, carry)
+        eta, U, V, eta_av, U_av, V_av = carry
+        eta_av = fill_halos(eta_av, grid, ETA_LOC, eta_bcs, axes=(0, 1))
+        if squeeze:
+            return eta_av[:, :, None], U_av[:, :, None], V_av[:, :, None]
         return eta_av, U_av, V_av
 
     def corrector(self, grid, u, v, U_av, V_av):

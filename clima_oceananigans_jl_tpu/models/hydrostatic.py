@@ -48,7 +48,8 @@ class HydrostaticFreeSurfaceModel:
                  tracer_advection="default",
                  free_surface=None, buoyancy=None, coriolis=None, closure=None,
                  tracers=None, forcing=None, boundary_conditions=None,
-                 particles=None, immersed_boundary=None):
+                 particles=None, immersed_boundary=None,
+                 fused_advection="auto"):
         if grid.topology[2] is FLAT:
             raise ValueError("HydrostaticFreeSurfaceModel needs a z direction")
         # None explicitly disables a term (reference `advection = nothing`)
@@ -70,7 +71,23 @@ class HydrostaticFreeSurfaceModel:
         self.tracer_names = tuple(names)
         h_req = max(getattr(self.momentum_advection, "required_halo", 1),
                     getattr(self.tracer_advection, "required_halo", 1), 1)
-        self.grid = grid.with_halo((h_req, h_req, h_req))
+        want_fused = (fused_advection is True
+                      or (fused_advection == "auto"
+                          and jax.default_backend() == "tpu"))
+        hx = hy = h_req
+        if want_fused:
+            # fused Pallas tendencies: y-halo a multiple of 4 (sublane-8
+            # tile windows); with an immersed boundary the conditional
+            # fluxes read ±(buffer+1), which must stay in-window
+            if immersed_boundary is not None:
+                from ..advection.schemes import AdvectionScheme
+                hb = max((s.buffer + 1 for s in (self.momentum_advection,
+                                                 self.tracer_advection)
+                          if isinstance(s, AdvectionScheme) and s.buffer > 0),
+                         default=0)
+                hx = hy = max(h_req, hb)
+            hy = -(-hy // 4) * 4
+        self.grid = grid.with_halo((hx, hy, h_req))
         # immersed boundary: masks built on the final grid, grid wrapped
         # (reference ImmersedBoundaryGrid) so flux-form advection applies
         # conditional near-solid fluxes; PartialCellBottom additionally
@@ -105,6 +122,9 @@ class HydrostaticFreeSurfaceModel:
             wb.top = FluxBC()
         self.w_bcs = wb
         self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
+        from ..ops.fused_hydrostatic import supports_fused_hydrostatic
+        self.fused_advection = bool(want_fused
+                                    and supports_fused_hydrostatic(self))
 
     # -- pytree ---------------------------------------------------------------
     def tree_flatten(self):
@@ -114,7 +134,7 @@ class HydrostaticFreeSurfaceModel:
         fk = tuple(sorted(self.forcing))
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
-                  tuple(self.forcing[k] for k in fk))
+                  tuple(self.forcing[k] for k in fk), self.fused_advection)
         return leaves, static
 
     @classmethod
@@ -124,7 +144,7 @@ class HydrostaticFreeSurfaceModel:
          obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs,
          obj.particles, obj.immersed_boundary) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
-         obj.ab2_chi, fk, fv) = static
+         obj.ab2_chi, fk, fv, obj.fused_advection) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -304,6 +324,7 @@ class HydrostaticFreeSurfaceModel:
                 gsub = grid.subgrid_along(axis, start_int, H)
                 ms = _copy.copy(self)
                 ms.grid = gsub
+                ms.fused_advection = False  # strips are tiny; jnp path
                 if self.immersed_boundary is not None:
                     ms.immersed_boundary = gsub.immersed
                 sub = {k: (jax.tree_util.tree_map(
@@ -328,45 +349,40 @@ class HydrostaticFreeSurfaceModel:
         u, v = sol["u"], sol["v"]
         w = state["w"]
         clock = state["clock"]
-        scheme = self.momentum_advection
         fs = self.free_surface
+        tr = {n: sol[n] for n in self.tracer_names}
+        ph = (state["pHY"] if self.buoyancy is not None and "pHY" in state
+              else None)
 
-        if isinstance(scheme, VectorInvariant):
-            Gu = -scheme.U_dot_grad_u(grid, u, v, w)
-            Gv = -scheme.U_dot_grad_v(grid, u, v, w)
-        elif scheme is None:
-            Gu = jnp.zeros_like(u)
-            Gv = jnp.zeros_like(v)
-        else:  # conservative flux form
-            Gu = -div_vu(grid, scheme, u, v, w)
-            Gv = -div_vv(grid, scheme, u, v, w)
+        from ..ops.fused_hydrostatic import (fused_hydrostatic_tendencies,
+                                             hydrostatic_advective_core)
+        if (self.fused_advection
+                and getattr(grid, "dist", (None,) * 3) == (None, None, None)):
+            # ONE Pallas pass: advection + Coriolis + ∂pHY′ for every
+            # prognostic field; closures/forcings/BC fluxes added below
+            G = fused_hydrostatic_tendencies(self, state)
+        else:
+            G = hydrostatic_advective_core(grid, self.momentum_advection,
+                                           self.tracer_advection,
+                                           self.coriolis, self.tracer_names,
+                                           u, v, w, tr, pHY=ph)
+        Gu, Gv = G["u"], G["v"]
 
         if self._explicit_fs:
             g_const = fs.gravitational_acceleration
             Gu = Gu - g_const * grad_x(grid, state["eta"])
             Gv = Gv - g_const * grad_y(grid, state["eta"])
 
-        if self.coriolis is not None:
-            Gu = Gu - self.coriolis.x_f_cross_U(grid, u, v, w)
-            Gv = Gv - self.coriolis.y_f_cross_U(grid, u, v, w)
-
-        if self.buoyancy is not None and "pHY" in state:
-            ph = state["pHY"]
-            Gu = Gu - st.dxf(ph) / grid.dx(U_LOC)
-            Gv = Gv - st.dyf(ph) / grid.dy(V_LOC)
-
         diff = state.get("diffusivities")
         if self.closure is not None:
             Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure, diff)
             Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure, diff)
 
-        G = dict(u=Gu, v=Gv)
+        G["u"], G["v"] = Gu, Gv
 
-        ts = self.tracer_advection
         for name in self.tracer_names:
             c = sol[name]
-            Gc = (-div_Uc(grid, ts, u, v, w, c) if ts is not None
-                  else jnp.zeros_like(c))
+            Gc = G[name]
             if self.closure is not None:
                 Gc = Gc + tracer_diffusion(c, grid, name, self.closure, diff)
                 closures = (self.closure if isinstance(self.closure, (tuple, list))

@@ -538,7 +538,10 @@ class NonhydrostaticModel:
                                    self.bcs[name], t)
         u, v, w = sol["u"], sol["v"], sol["w"]
         fuser = None
-        if self.fused_advection:
+        # the mini div/grad fusers use compile-time scalar metrics, which
+        # requires a fully regular grid (stretched-z fused models run the
+        # whole-array ops with the real per-level Δz instead)
+        if self.fused_advection and grid.z_regular:
             from ..ops.fused_tendencies import (ConstMetricGrid, pallas_fuse,
                                                 z_halo_free_ok)
             ax = grid._axes
@@ -565,7 +568,7 @@ class NonhydrostaticModel:
         pNHS = pNHS.at[sl].set(phi_int)
         pNHS = fill_halos(pNHS, grid, CENTER, self.pressure_bcs)
         gfuser = None
-        if self.fused_advection:
+        if self.fused_advection and grid.z_regular:
             gfuser = pallas_fuse(
                 lambda p: (st.dxf(p) / cg.dx(U_LOC), st.dyf(p) / cg.dy(V_LOC),
                            st.dzf(p) / cg.dz(W_LOC)), grid, 3, z_slim=z_slim)

@@ -130,7 +130,9 @@ class ShallowWaterModel:
         from ..grids.topology import BOUNDED
         # bounded x is incompatible with the tiled fused kernel (absolute
         # near-boundary order-reduction masks); bounded y is fine (full rows)
+        # all_regular: the fused kernel's metrics are compile-time scalars
         want_fused = (_jax.default_backend() == "tpu" and not grid.curvilinear
+                      and grid.all_regular
                       and grid.topology[0] is not BOUNDED
                       and formulation == "conservative")
         # fused 2D Pallas tiles need the x-window (sublane dim) to be a

@@ -1,0 +1,389 @@
+"""Fused Pallas tendencies for the hydrostatic (lat-lon) model.
+
+The hydrostatic free-surface model is the reference's climate-scale
+flagship (near-global lat-lon ocean,
+/root/reference/validation/near_global_lat_lon/; tendency kernels in
+/root/reference/src/Models/HydrostaticFreeSurfaceModels/
+hydrostatic_free_surface_tendency_kernel_functions.jl:1-80). Its hot
+terms — vector-invariant (or flux-form) momentum advection, tracer
+advection, Coriolis, and the hydrostatic-pressure-anomaly gradient — are
+evaluated here in ONE Pallas pass over (x, y) tiles with full-z windows,
+exactly like the nonhydrostatic fused kernel (ops/fused_tendencies.py),
+but on CURVILINEAR (lat-lon) and stretched grids: the y/z-dependent
+metrics ride a stacked metric-pack input (ops/kernel_grid.py) whose 2D
+rows broadcast against the 3D field blocks, the spherical Coriolis
+parameter is rebuilt in-kernel from latitude rows, near-boundary
+order-reduction masks work inside tiled windows via per-block iota
+offsets, and immersed solid masks enter as 0/1 field inputs driving the
+same conditional-flux selects as the jnp path.
+
+The kernel REUSES the jnp flux/vorticity/coriolis functions verbatim on
+VMEM blocks (``hydrostatic_advective_core`` below is called by BOTH the
+model's jnp path and this kernel), so results are bit-identical by
+construction — enforced by interpret-mode equivalence tests
+(tests/test_fused_hydrostatic.py).
+
+Terms outside the kernel (closures, forcings, boundary fluxes, the
+explicit-free-surface gradient, immersed tendency masking) are pointwise
+or cheap stencils the model adds on the XLA path afterwards.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
+from .fused_tendencies import _COMPILER_PARAMS, _fast_div, _tile_sizes
+from .kernel_grid import build_metric_pack, supports_metric_pack
+
+
+def hydrostatic_advective_core(grid, scheme, tracer_scheme, coriolis,
+                               tracer_names, u, v, w, tracers, pHY=None):
+    """The hydrostatic model's advective/Coriolis/∂pHY′ tendency core
+    (reference hydrostatic_free_surface_tendency_kernel_functions.jl:1-80)
+    as one whole-array function of the metric protocol — shared verbatim
+    by the jnp path (models/hydrostatic.py) and the fused Pallas kernel,
+    which is what makes the two paths bit-identical."""
+    from ..advection.fluxes import div_Uc, div_vu, div_vv
+    from ..advection.vector_invariant import VectorInvariant
+    from ..ops import stencil as st
+
+    if isinstance(scheme, VectorInvariant):
+        Gu = -scheme.U_dot_grad_u(grid, u, v, w)
+        Gv = -scheme.U_dot_grad_v(grid, u, v, w)
+    elif scheme is None:
+        Gu = jnp.zeros_like(u)
+        Gv = jnp.zeros_like(v)
+    else:  # conservative flux form
+        Gu = -div_vu(grid, scheme, u, v, w)
+        Gv = -div_vv(grid, scheme, u, v, w)
+
+    if coriolis is not None:
+        Gu = Gu - coriolis.x_f_cross_U(grid, u, v, w)
+        Gv = Gv - coriolis.y_f_cross_U(grid, u, v, w)
+
+    if pHY is not None:
+        Gu = Gu - st.dxf(pHY) / grid.dx(U_LOC)
+        Gv = Gv - st.dyf(pHY) / grid.dy(V_LOC)
+
+    G = {"u": Gu, "v": Gv}
+    for name in tracer_names:
+        c = tracers[name]
+        G[name] = (-div_Uc(grid, tracer_scheme, u, v, w, c)
+                   if tracer_scheme is not None else jnp.zeros_like(c))
+    return G
+
+
+def _kernel_schemes(model):
+    """(flux-form momentum scheme or None, tracer scheme or None) — the
+    schemes that flow through ``transport`` (and thus need masks/tables)."""
+    from ..advection.schemes import AdvectionScheme
+    sch = model.momentum_advection
+    ts = model.tracer_advection
+    flux_form = sch if isinstance(sch, AdvectionScheme) else None
+    return flux_form, ts if isinstance(ts, AdvectionScheme) else None
+
+
+def supports_fused_hydrostatic(model):
+    """Static gate for the fused hydrostatic tendency kernel. Requires
+    (y, z)-expressible metrics (regular λ/x; lat-lon or rectilinear; no
+    partial cells), an undistributed grid, a kernel-expressible Coriolis
+    (y-dependent f only), and — with an immersed boundary — halos wide
+    enough that the conditional-flux stencils stay in-window."""
+    if os.environ.get("CLIMA_NO_FUSED"):
+        return False
+    grid = model.grid
+    if not supports_metric_pack(grid):
+        return False
+    parent = getattr(grid, "parent", grid)
+    if parent.dist != (None, None, None):
+        return False
+    from ..grids.topology import FLAT
+    if parent.topology[0] is FLAT or parent.topology[2] is FLAT:
+        return False
+    if parent.Nx < 2 or parent.Nz < 2 or parent.Hy < 1:
+        return False
+    from ..coriolis.coriolis import (BetaPlane, FPlane,
+                                     HydrostaticSphericalCoriolis)
+    cor = model.coriolis
+    if cor is not None and not isinstance(
+            cor, (FPlane, BetaPlane, HydrostaticSphericalCoriolis)):
+        return False
+    from ..advection.schemes import AdvectionScheme
+    from ..advection.vector_invariant import VectorInvariant
+    sch = model.momentum_advection
+    if sch is not None and not isinstance(sch, (VectorInvariant,
+                                                AdvectionScheme)):
+        return False
+    ts = model.tracer_advection
+    if ts is not None and not isinstance(ts, AdvectionScheme):
+        return False
+    imm = getattr(grid, "immersed", None)
+    if imm is not None:
+        maxbuf = max((s.buffer for s in _kernel_schemes(model)
+                      if s is not None and s.buffer > 0), default=0)
+        if maxbuf and min(parent.Hx, parent.Hy) < maxbuf + 1:
+            return False
+    return True
+
+
+class _DuckImmersed:
+    """In-kernel immersed boundary: solid masks as 0/1 VMEM blocks
+    (``transport``'s ``_immersed_clear`` consumes them arithmetically)."""
+
+    def __init__(self, masks):
+        self._m = masks
+
+    def mask_for(self, loc):
+        return self._m[tuple(loc)]
+
+
+def _mask_locs(model):
+    """Solid-mask locations the kernel's conditional fluxes read."""
+    if getattr(model.grid, "immersed", None) is None:
+        return ()
+    flux_form, ts = _kernel_schemes(model)
+    locs = []
+    if ts is not None and ts.buffer > 0:
+        locs.append(CENTER)
+    if flux_form is not None and flux_form.buffer > 0:
+        locs += [U_LOC, V_LOC]
+    return tuple(locs)
+
+
+def _tile_sizes_zy(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
+    """(TX, TY) for the TRANSPOSED (x, z, y) block layout: y is the lane
+    dim — prefer TY maximizing lane efficiency ty / pad128(ty+2hy) — and
+    z the sublane dim (pad to 8). The VMEM window is
+    (tx+2hx)·pad8(zt)·pad128(ty+2hy)·itemsize."""
+    def pad(v, m):
+        return -(-v // m) * m
+
+    z_pad = pad(zt, 8)
+    best = None
+    for ty in [d for d in range(1, ny + 1) if ny % d == 0]:
+        if ty % 128 and ty != ny:
+            # Blocked output specs need lane tiles 128-divisible or full
+            continue
+        ty_w = ty + 2 * hy
+        lane_eff = ty / pad(ty_w, 128)
+        for tx in [d for d in range(1, nx + 1) if nx % d == 0]:
+            win = (tx + 2 * hx) * z_pad * pad(ty_w, 128) * itemsize
+            if win > budget_bytes:
+                continue
+            score = (round(lane_eff, 3), tx * ty)
+            if best is None or score > best[0]:
+                best = (score, tx, ty)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def fused_hydrostatic_tendencies(model, state, interpret=None):
+    """One fused pass: −U·∇(u,v) − f×U − ∇pHY′ and −∇·(U c) per tracer.
+    Returns a dict of with-halo tendency arrays (x/y halo regions zero,
+    like the jnp path's wrap-garbage there: downstream never reads G
+    halos). Caller must have checked ``supports_fused_hydrostatic``.
+
+    Ocean z columns are SHALLOW (nz ≈ 24-75), so the natural z-in-lanes
+    block layout pads zt up to 128 lanes and wastes up to ~3.4× of the
+    VPU (measured 378 vs 1620 M pts/s at zt=38 vs 128). When the padding
+    waste is material the kernel instead runs on TRANSPOSED (x, z, y)
+    blocks — y in the lane dim, z in sublanes (pad 8) — via the
+    ``axis_permutation`` trace context (ops/stencil.py); inputs/outputs
+    are transposed at the XLA level (~2 extra streaming passes, ≪ the
+    VPU savings). ``CLIMA_HYDRO_LAYOUT=yz|zy`` (env) forces a layout."""
+    from ..advection.schemes import WENO5
+    from ..ops import stencil as st
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    grid = model.grid
+    parent = getattr(grid, "parent", grid)
+    imm = getattr(grid, "immersed", None)
+    sol = state["solution"]
+    u, v, w = sol["u"], sol["v"], state["w"]
+    names = model.tracer_names
+    scheme, ts = model.momentum_advection, model.tracer_advection
+    cor = model.coriolis
+    has_ph = model.buoyancy is not None and "pHY" in state
+
+    nx, ny, nz = parent.shape
+    hx, hy, hz = parent.halo
+    zt = nz + 2 * hz
+    dtype = u.dtype
+
+    # -- metric pack -----------------------------------------------------
+    from ..coriolis.coriolis import BetaPlane, HydrostaticSphericalCoriolis
+    need_ynodes = ()
+    if isinstance(cor, HydrostaticSphericalCoriolis):
+        need_ynodes = (F,)
+    elif isinstance(cor, BetaPlane):
+        need_ynodes = (C, F)
+    flux_form, ts_k = _kernel_schemes(model)
+    any_weno = any(isinstance(s, WENO5) for s in (flux_form, ts_k)
+                   if s is not None)
+    need_yt = any_weno and not parent._axes[1].regular
+    # layout choice: transpose when the z lane padding wastes ≥25% and a
+    # y tile with decent lane efficiency exists
+    forced = os.environ.get("CLIMA_HYDRO_LAYOUT")
+    lane_pad = (-(-zt // 128) * 128) / zt
+    transposed = (forced == "zy" if forced
+                  else lane_pad >= 1.25 and ny >= 64 and not need_yt)
+    pack = build_metric_pack(
+        grid,
+        need_ynodes=need_ynodes,
+        need_ztables=any_weno and not parent._axes[2].regular,
+        need_ytables=need_yt,
+        layout="zy" if transposed else "yz",
+    )
+
+    # -- near-boundary order reduction (absolute bounds + iota offsets) --
+    from ..advection.schemes import reduced_order_masks
+    rmasks = {}
+    for s in (flux_form, ts_k):
+        if s is None:
+            continue
+        for axis in (0, 1, 2):
+            m = reduced_order_masks(parent, axis, s)
+            if m is not None:
+                rmasks[(axis, s.required_halo)] = m
+
+    # -- coriolis scalars ride SMEM (leaves may be traced) ----------------
+    cor_leaves, cor_treedef = jax.tree_util.tree_flatten(cor)
+    cor_smem = [jnp.asarray(l, dtype).reshape(1, 1) for l in cor_leaves]
+
+    mask_locs = _mask_locs(model)
+    mask_arrays = [imm.mask_for(l).astype(dtype) for l in mask_locs]
+
+    n_tr = len(names)
+    nfields = 3 + n_tr + int(has_ph) + len(mask_locs)
+    budget = int(12_000_000 / max(4, nfields))
+    if transposed:
+        sizes = _tile_sizes_zy(nx, ny, hx, hy, zt,
+                               itemsize=dtype.itemsize, budget_bytes=budget)
+        if sizes is None:  # no legal transposed tiling — fall back
+            transposed = False
+            pack = build_metric_pack(grid, need_ynodes=need_ynodes,
+                                     need_ztables=any_weno
+                                     and not parent._axes[2].regular,
+                                     need_ytables=need_yt, layout="yz")
+    if transposed:
+        tx, ty = sizes
+    else:
+        tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=dtype.itemsize,
+                             budget_bytes=budget)
+    n_out = 2 + n_tr
+
+    field_inputs = [u, v, w] + [sol[n] for n in names]
+    if has_ph:
+        field_inputs.append(state["pHY"])
+    field_inputs += mask_arrays
+    if transposed:
+        field_inputs = [a.transpose(0, 2, 1) for a in field_inputs]
+    has_pack = pack.pack is not None
+
+    def kernel(*refs):
+        k = 0
+        cor_refs = refs[:len(cor_smem)]
+        k += len(cor_smem)
+        pack_ref = refs[k] if has_pack else None
+        k += int(has_pack)
+        f_refs = refs[k:k + 3 + n_tr]
+        k += 3 + n_tr
+        ph_ref = refs[k] if has_ph else None
+        k += int(has_ph)
+        m_refs = refs[k:k + len(mask_locs)]
+        k += len(mask_locs)
+        out_refs = refs[k:]
+
+        jy = pl.program_id(0)
+        jx = pl.program_id(1)
+        offs = (jx * tx, jy * ty, 0)  # logical (x, y, z) element offsets
+        kg = pack.kernel_grid(
+            pack_ref[:] if has_pack else None,
+            reduced_masks=rmasks or None, iota_offset=offs,
+            immersed=(_DuckImmersed({tuple(l): r[:] for l, r in
+                                     zip(mask_locs, m_refs)})
+                      if mask_locs else None))
+        cor_k = jax.tree_util.tree_unflatten(
+            cor_treedef, [r[0, 0] for r in cor_refs])
+
+        ub, vb, wb = (r[:] for r in f_refs[:3])
+        tr_blocks = {n: f_refs[3 + i][:] for i, n in enumerate(names)}
+        if transposed:  # block dims are (x, z, y)
+            sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
+                  slice(None),
+                  slice(hy, hy + ty) if ub.shape[2] > ty else slice(None))
+            perm_ctx = st.axis_permutation((0, 2, 1))
+        else:
+            sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
+                  slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
+                  slice(None))
+            perm_ctx = contextlib.nullcontext()
+        with perm_ctx, _fast_div():
+            G = hydrostatic_advective_core(
+                kg, scheme, ts, cor_k, names, ub, vb, wb, tr_blocks,
+                pHY=ph_ref[:] if has_ph else None)
+        for i, n in enumerate(("u", "v") + tuple(names)):
+            out_refs[i][:] = G[n][sl]
+
+    smem = pl.BlockSpec((1, 1), lambda jy, jx: (0, 0),
+                        memory_space=pltpu.SMEM)
+    if transposed:
+        # single-y-tile index maps emit a LITERAL 0: Mosaic must statically
+        # prove lane-dim window starts 128-aligned, and jy*ty with a
+        # non-128-multiple full-row ty (e.g. 600) is unprovable even though
+        # jy is always 0
+        yoff = (lambda jy: jy * ty) if ny // ty > 1 else (lambda jy: 0)
+        win = pl.BlockSpec(
+            (pl.Element(tx + 2 * hx), pl.Element(zt),
+             pl.Element(ty + 2 * hy)),
+            lambda jy, jx: (jx * tx, 0, yoff(jy)))
+        pack_win = pl.BlockSpec(
+            (pl.Element(pack.n_rows), pl.Element(zt),
+             pl.Element(ty + 2 * hy)),
+            lambda jy, jx: (0, 0, yoff(jy)))
+        out_spec = pl.BlockSpec((tx, zt, ty), lambda jy, jx: (jx, 0, jy))
+        out_shape = jax.ShapeDtypeStruct((nx, zt, ny), dtype)
+    else:
+        win = pl.BlockSpec(
+            (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy),
+             pl.Element(zt)),
+            lambda jy, jx: (jx * tx, jy * ty, 0))
+        # the pack window's index depends only on jy: with the y grid axis
+        # OUTER, its DMA is skipped across the whole inner x sweep
+        pack_win = pl.BlockSpec(
+            (pl.Element(pack.n_rows), pl.Element(ty + 2 * hy),
+             pl.Element(zt)),
+            lambda jy, jx: (0, jy * ty, 0))
+        out_spec = pl.BlockSpec((tx, ty, zt), lambda jy, jx: (jx, jy, 0))
+        out_shape = jax.ShapeDtypeStruct((nx, ny, zt), dtype)
+
+    in_specs = ([smem] * len(cor_smem) + ([pack_win] if has_pack else [])
+                + [win] * len(field_inputs))
+    inputs = (cor_smem + ([pack.pack] if has_pack else []) + field_inputs)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(ny // ty, nx // tx),
+        in_specs=in_specs,
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*inputs)
+
+    if transposed:
+        outs = [o.transpose(0, 2, 1) for o in outs]
+    pad = ((hx, hx), (hy, hy), (0, 0))
+    G = {"u": jnp.pad(outs[0], pad), "v": jnp.pad(outs[1], pad)}
+    for i, n in enumerate(names):
+        G[n] = jnp.pad(outs[2 + i], pad)
+    return G

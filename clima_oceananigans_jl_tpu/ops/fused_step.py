@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.location import CENTER, U_LOC, V_LOC, W_LOC
+from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 from . import fused_tendencies as _ft
 from .fused_tendencies import (ConstMetricGrid, _COMPILER_PARAMS, _fast_div,
                                _shift_rmasks, _tile_sizes, _zslim_in,
@@ -94,7 +94,6 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     z_dma = z_slim and _ft.Z_SLIM_DMA and nz % 128 == 0
     zw = nz if z_dma else zt
     z_off = hz if z_dma else 0
-    ax = grid._axes
     rmasks = {}
     for sch in (scheme, tracer_scheme):
         m = reduced_order_masks(grid, 2, sch)
@@ -102,14 +101,19 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
             rmasks[(2, sch.required_halo)] = m
     if z_slim:
         rmasks = _shift_rmasks(rmasks, hz)
-    cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
-                         float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
-                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
-                         reduced_masks=rmasks or None)
+    # metric grid: scalars for regular axes; stretched-z Δz/WENO-table
+    # rows ride a metric-pack input (z_slim is regular-z only, so pack
+    # rows always span the full zt window). See fused_tendencies.
+    from ..advection.schemes import WENO5
+    from .kernel_grid import build_metric_pack
+    any_weno = any(isinstance(s, WENO5) for s in (scheme, tracer_scheme))
+    pack = build_metric_pack(grid, need_ztables=any_weno
+                             and not grid.z_regular)
+    has_pack = pack.pack is not None
 
     has_ph = model.buoyancy is not None and "pHY" in state
-    dxu = cg.dx(U_LOC)
-    dyv = cg.dy(V_LOC)
+    dxu = pack.scalars[("dx", F, C)]
+    dyv = pack.scalars[("dy", F)]
 
     # AB2 coefficients, exactly as timesteppers.ab2_substep builds them
     chi = jnp.where(euler, -0.5, jnp.asarray(model.ab2_chi, grid.dtype))
@@ -146,6 +150,10 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
         gp_interior = False
 
     def kernel(c1_ref, c2_ref, dt_ref, *refs):
+        if has_pack:
+            pack_ref, refs = refs[0], refs[1:]
+        cg = pack.kernel_grid(pack_ref[:] if has_pack else None,
+                              reduced_masks=rmasks or None)
         prog = refs[:nfields]
         ph_b = _zslim_in(refs[nfields][:], hz, zk) if has_ph else None
         gp = refs[nfields + int(has_ph): nfields + int(has_ph) + nfields]
@@ -179,6 +187,9 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     win = pl.BlockSpec(
         (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
         lambda i, j: (i * tx, j * ty, z_off))
+    pack_win = pl.BlockSpec(
+        (pl.Element(pack.n_rows), pl.Element(ty + 2 * hy), pl.Element(zt)),
+        lambda i, j: (0, j * ty, 0))
     gp_win = (pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0))
               if gp_interior else win)
     smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -193,13 +204,14 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     outs = pl.pallas_call(
         kernel,
         grid=(nx // tx, ny // ty),
-        in_specs=([smem] * 3 + [win] * len(inputs)
-                  + [gp_win] * nfields),
+        in_specs=([smem] * 3 + ([pack_win] if has_pack else [])
+                  + [win] * len(inputs) + [gp_win] * nfields),
         out_specs=[out_spec] * (2 * nfields),
         out_shape=[out_shape] * (2 * nfields),
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(c1, c2, dts, *inputs, *[G_prev[n] for n in field_names])
+    )(c1, c2, dts, *(([pack.pack] if has_pack else []) + inputs),
+      *[G_prev[n] for n in field_names])
 
     pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
     sol_new = {n: jnp.pad(outs[k], pad) for k, n in enumerate(field_names)}

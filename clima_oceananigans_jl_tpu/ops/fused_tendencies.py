@@ -105,11 +105,15 @@ def supports_fused_advection(grid):
     # absolute positions, which the tiled x/y windows cannot express.
     # CLIMA_NO_FUSED=1 (env) force-disables every fused Pallas path —
     # the bench supervisor's last-resort degradation level.
+    # x/y must be regular (metrics become compile-time scalars); z may be
+    # STRETCHED — per-level Δz and stretched-WENO coefficient tables ride
+    # the metric-pack input (ops/kernel_grid.py), matching the reference's
+    # full-speed stretched-grid WENO (weno_fifth_order.jl:33-60).
     import os
     if os.environ.get("CLIMA_NO_FUSED"):
         return False
     from ..grids.topology import BOUNDED
-    return (not grid.curvilinear and grid.all_regular
+    return (not grid.curvilinear and grid.hregular
             and getattr(grid, "immersed", None) is None
             and grid.topology[0] is not BOUNDED
             and grid.topology[1] is not BOUNDED
@@ -180,6 +184,10 @@ def z_halo_free_ok(grid, w_bcs=None):
     from ..grids.topology import PERIODIC, BOUNDED
     nz = grid.shape[2]
     if nz <= 1 or grid.halo[2] == 0:
+        return False
+    if not grid.z_regular:
+        # stretched z: metric-pack rows and WENO tables are built for the
+        # full (nz+2hz)-lane window; slim blocks would misalign them
         return False
     topo = grid.topology[2]
     if topo is PERIODIC:
@@ -401,10 +409,9 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
     z_dma = z_slim and Z_SLIM_DMA and nz % 128 == 0
     zw = nz if z_dma else zt
     z_off = hz if z_dma else 0
-    ax = grid._axes
     # near-boundary order reduction along z (full-window axis): absolute
     # masks are legal there; supports_fused_advection() rejects bounded x/y
-    from ..advection.schemes import reduced_order_masks
+    from ..advection.schemes import WENO5, reduced_order_masks
     rmasks = {}
     for sch in (scheme, tracer_scheme):
         m = reduced_order_masks(grid, 2, sch)
@@ -412,10 +419,15 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
             rmasks[(2, sch.required_halo)] = m
     if z_slim:
         rmasks = _shift_rmasks(rmasks, hz)
-    cg = ConstMetricGrid(float(ax[0].extent / max(nx, 1)) if nx > 1 else 1.0,
-                         float(ax[1].extent / max(ny, 1)) if ny > 1 else 1.0,
-                         float(ax[2].extent / max(nz, 1)) if nz > 1 else 1.0,
-                         reduced_masks=rmasks or None)
+    # metric grid: compile-time scalars for regular axes; stretched-z Δz
+    # rows (and WENO coordinate rows for the in-kernel stretched tables)
+    # ride a metric-pack input (ops/kernel_grid.py). All-regular grids get
+    # an empty pack — scalar entries only, no extra input.
+    from .kernel_grid import build_metric_pack
+    any_weno = any(isinstance(s, WENO5) for s in (scheme, tracer_scheme))
+    pack = build_metric_pack(grid, need_ztables=any_weno
+                             and not grid.z_regular)
+    has_pack = pack.pack is not None
     names = list(tracers)
     n_out = 3 + len(names)
     # size tiles by the ACTUAL DMA window lane count (zw, not the slim
@@ -426,9 +438,14 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
     tx, ty = _tile_sizes(nx, ny, hx, hy, zw, itemsize=u.dtype.itemsize,
                          budget_bytes=int(12_000_000 / max(4, n_out)))
 
-    def kernel(u_ref, v_ref, w_ref, *refs):
-        c_refs = refs[:len(names)]
-        out_refs = refs[len(names):]
+    def kernel(*refs):
+        if has_pack:
+            pack_ref, refs = refs[0], refs[1:]
+        u_ref, v_ref, w_ref = refs[:3]
+        c_refs = refs[3:3 + len(names)]
+        out_refs = refs[3 + len(names):]
+        cg = pack.kernel_grid(pack_ref[:] if has_pack else None,
+                              reduced_masks=rmasks or None)
         ub = _zslim_in(u_ref[:], hz, zk)
         vb = _zslim_in(v_ref[:], hz, zk)
         wb = _zslim_in(w_ref[:], hz, zk)
@@ -446,18 +463,23 @@ def fused_advective_tendencies(grid, scheme, tracer_scheme, u, v, w, tracers,
     win = pl.BlockSpec(
         (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy), pl.Element(zw)),
         lambda i, j: (i * tx, j * ty, z_off))
+    pack_win = pl.BlockSpec(
+        (pl.Element(pack.n_rows), pl.Element(ty + 2 * hy), pl.Element(zt)),
+        lambda i, j: (0, j * ty, 0))
     out_spec = pl.BlockSpec((tx, ty, zk), lambda i, j: (i, j, 0))
     out_shape = jax.ShapeDtypeStruct((nx, ny, zk), u.dtype)
 
     outs = pl.pallas_call(
         kernel,
         grid=(nx // tx, ny // ty),
-        in_specs=[win] * (3 + len(names)),
+        in_specs=(([pack_win] if has_pack else [])
+                  + [win] * (3 + len(names))),
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(u, v, w, *[tracers[n] for n in names])
+    )(*(([pack.pack] if has_pack else [])
+        + [u, v, w] + [tracers[n] for n in names]))
 
     pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
     result = dict(u=jnp.pad(outs[0], pad), v=jnp.pad(outs[1], pad),
