@@ -55,8 +55,14 @@ bench_fn("full step", model.step, state, dt)
 bench_fn("tendencies", model.tendencies, state)
 G = jax.jit(model.tendencies)(state)
 from clima_oceananigans_jl_tpu.timesteppers.steppers import ab2_substep
-bench_fn("ab2_substep", lambda s, g: ab2_substep(s["solution"], g, s["G_prev"],
-                                                 dt, 0.1, jnp.bool_(False)), state, G)
+# state G_prev may carry the z_slim HALO-FREE layout; pad for the plain substep
+_gp = state["G_prev"]
+if _gp["u"].shape != state["solution"]["u"].shape:
+    _pad = tuple((h, h) for h in grid.halo)
+    _gp = {k: jnp.pad(v, _pad) for k, v in _gp.items()}
+bench_fn("ab2_substep", lambda s, g, gp: ab2_substep(s["solution"], g, gp,
+                                                     dt, 0.1, jnp.bool_(False)),
+         state, G, _gp)
 bench_fn("projection", lambda s: model.project_velocities(s, dt), state)
 bench_fn("update_state", model.update_state, state)
 bench_fn("fill_halos all", lambda s: model.fill_all_halos(s["solution"]), state)

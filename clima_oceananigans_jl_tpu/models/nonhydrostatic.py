@@ -231,7 +231,22 @@ class NonhydrostaticModel:
                 state = self.immersed_boundary.mask_state(self, state)
             return state
         t = state["clock"].time
-        sol = self.fill_all_halos(state["solution"], t)
+        locs = self._locs()
+        # under the fully-fused z_slim step, NOTHING reads the z halos of
+        # u/v/passive tracers: the fused kernels slice the z-halo lanes
+        # away (wrap semantics handle the walls), and the fast projection
+        # works on interior views with imposed wall planes. The z fill
+        # stays for w (it writes the bounded wall FACES the kernels' wrap
+        # argument relies on) and for buoyancy tracers (the pHY′ integral's
+        # top face reads the first z-halo cell). Skipping the rest trims
+        # the 256³ benchmark step's halo-fill traffic.
+        zskip = self.fused_step and self.g_interior
+        z_needed = {"w"} | set(self.buoyancy.required_tracers
+                               if self.buoyancy is not None else ())
+        sol = {name: fill_halos(arr, self.grid, locs[name], self.bcs[name],
+                                t, axes=(0, 1) if zskip and name not in
+                                z_needed else (0, 1, 2))
+               for name, arr in state["solution"].items()}
         state = dict(state, solution=sol)
         if self.immersed_boundary is not None:
             state = self.immersed_boundary.mask_state(self, state)

@@ -129,7 +129,7 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     # 256³ instead of (8,128), 102M of stack).
     bf16s = bool(getattr(scheme, "bf16_smoothness", False)
                  or getattr(tracer_scheme, "bf16_smoothness", False))
-    budget = 10_000_000 if bf16s else 12_000_000
+    budget = 11_000_000 if bf16s else 13_000_000
     tx, ty = _tile_sizes(nx, ny, hx, hy, zw, itemsize=sol["u"].dtype.itemsize,
                          budget_bytes=int(budget / max(4, nfields)))
 
