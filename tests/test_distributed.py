@@ -623,3 +623,101 @@ def test_distributed_checkpoint_roundtrip(tmp_path):
     for _ in range(5):
         s2 = dmodel.step(s2, dt)
     check(dmodel.gather_state(s2))
+
+
+def _collective_bytes(hlo_text):
+    """(permute_bytes, permute_count, a2a_bytes, a2a_count) per chip per
+    step, parsed from compiled HLO. all-to-alls are tuple-typed (one
+    operand per destination shard); their bytes sum over tuple elements."""
+    import re
+    pb = pc = ab = ac = 0
+    for m in re.finditer(
+            r'= \(?([a-z0-9]+)\[([0-9,]*)\][^=]*?'
+            r'(collective-permute|all-to-all)\(', hlo_text):
+        dt, dims, op = m.groups()
+        size = int(np.prod([int(d) for d in dims.split(',') if d])) if dims \
+            else 1
+        isz = {"f64": 8, "f32": 4, "c64": 8, "c128": 16}.get(dt, 8)
+        if op == "collective-permute":
+            pb += size * isz
+            pc += 1
+    # tuple-typed all-to-alls: count every element of the result tuple
+    for m in re.finditer(r'= \(([^)]*)\) all-to-all\(', hlo_text):
+        ac += 1
+        for t in re.finditer(r'([a-z0-9]+)\[([0-9,]*)\]', m.group(1)):
+            dt, dims = t.groups()
+            isz = {"f64": 8, "f32": 4, "c64": 8, "c128": 16}.get(dt, 8)
+            ab += int(np.prod([int(d) for d in dims.split(',') if d])) * isz
+    return pb, pc, ab, ac
+
+
+@needs8
+def test_communication_volume_matches_scaling_model():
+    """Regression pin for benchmark/SCALING.md §2's ICI model inputs
+    (VERDICT r3 #9): the per-chip collective volumes of the compiled
+    distributed steps must equal the closed-form model — any silent
+    growth in exchanged fields or transpose volume fails loudly.
+
+    Shallow water RK3 on a (2,2) mesh: 3 stages × 3 fields × 2 cut axes
+    × 2 sides halo permutes, each H × (local+2H) × nz elements.
+    Nonhydrostatic AB2: 9 exchanged fields (4 prognostic + 3 projection
+    velocity fills + pNHS + pHY′) × 2 axes × 2 sides, plus the pencil-FFT
+    transposes moving exactly 2× the per-chip complex rhs."""
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+    from clima_oceananigans_jl_tpu.models.shallow_water import (
+        ShallowWaterModel)
+    from clima_oceananigans_jl_tpu import FLAT, WENO5
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+
+    itemsize = 8  # f64 test suite
+
+    # -- shallow water ----------------------------------------------------
+    N = 64
+    grid = RectilinearGrid(size=(N, N, 1), extent=(1e6, 1e6),
+                           topology=(PERIODIC, PERIODIC, FLAT),
+                           dtype=jnp.float64)
+    model = ShallowWaterModel(grid=grid, gravitational_acceleration=9.81,
+                              advection=WENO5())
+    dm = DistributedModel(model, make_mesh((2, 2)))
+    s = dm.initial_state(uh=lambda x, y, z: 0.1 * jnp.sin(2 * jnp.pi
+                                                          * x / 1e6),
+                         h=100.0)
+    _ = dm.step(s, 1.0)
+    txt = dm._sharded_step.lower(dm.stacked_grid, s,
+                                 jnp.float64(1.0)).compile().as_text()
+    pb, pc, ab, ac = _collective_bytes(txt)
+    H = dm.local_grid.halo[0]
+    loc = dm.local_grid.shape[0]
+    slab = H * (loc + 2 * H) * 1 * itemsize
+    assert pc == 3 * 3 * 2 * 2, pc
+    assert pb == pc * slab, (pb, pc * slab)
+    assert ac == 0 and ab == 0  # no elliptic solve in shallow water
+
+    # -- nonhydrostatic + pencil-FFT projection ---------------------------
+    grid = RectilinearGrid(size=(32, 32, 16), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    model = NonhydrostaticModel(grid, advection=WENO5(),
+                                buoyancy=BuoyancyTracer())
+    dm = DistributedModel(model, make_mesh((2, 2)))
+    s = dm.initial_state(u=lambda x, y, z: 0.01 * jnp.sin(2 * jnp.pi * x))
+    _ = dm.step(s, jnp.float64(1e-3))
+    txt = dm._sharded_step.lower(dm.stacked_grid, s,
+                                 jnp.float64(1e-3)).compile().as_text()
+    pb, pc, ab, ac = _collective_bytes(txt)
+    g = dm.local_grid
+    n_fields = 9
+    assert pc == n_fields * 2 * 2, pc
+    slab_x = g.halo[0] * (g.shape[1] + 2 * g.halo[1]) \
+        * (g.shape[2] + 2 * g.halo[2]) * itemsize
+    slab_y = g.halo[1] * (g.shape[0] + 2 * g.halo[0]) \
+        * (g.shape[2] + 2 * g.halo[2]) * itemsize
+    assert pb == n_fields * 2 * (slab_x + slab_y), \
+        (pb, n_fields * 2 * (slab_x + slab_y))
+    # pencil transposes: 8 all-to-alls (z→x pencil, x-fft→y pencil, and
+    # back, for forward+inverse), each listing the FULL per-chip pencil
+    # volume — 1 real (the rhs) + 7 complex
+    vol = (32 * 32 * 16) // 4  # per-chip elements
+    expect_ab = vol * (1 * itemsize + 7 * 2 * itemsize)
+    assert ac == 8 and ab == expect_ab, (ac, ab, expect_ab)

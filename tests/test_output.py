@@ -152,3 +152,63 @@ def test_pickup_by_iteration_and_path(tmp_path):
     assert sim2.model_iteration() == 2
     assert pickup_latest(sim2, ckp.checkpoint_path(4))
     assert sim2.model_iteration() == 4
+
+
+class _TinySim:
+    """Minimal sim stand-in driving a WindowedTimeAverage by hand."""
+
+    def __init__(self):
+        self.t = 0.0
+        self.val = 0.0
+
+    def model_time(self):
+        return self.t
+
+
+def test_windowed_time_average_matches_hand_integral():
+    """Regression vs a hand-computed right-Riemann windowed integral
+    (the reference's accumulate_result!, windowed_time_average.jl:135-150:
+    result = Σ f(tₖ)·Δtₖ / Σ Δtₖ with f sampled at the NEW time), incl.
+    the AveragedTimeInterval window/stride gating and the documented
+    snapshot fallback when fired before any accumulation."""
+    from clima_oceananigans_jl_tpu.utils.schedules import AveragedTimeInterval
+
+    # -- plain accumulate-every-step average -----------------------------
+    sim = _TinySim()
+    wta = WindowedTimeAverage(lambda s: np.array([s.val]))
+    dts = [0.5, 0.25, 0.25, 1.0]
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    sim.val = vals[0]
+    wta(sim)  # first call only seeds the integration time
+    num = 0.0
+    for dt, v in zip(dts, vals[1:]):
+        sim.t += dt
+        sim.val = v
+        wta(sim)
+        num += dt * v
+    expected = num / sum(dts)
+    assert np.allclose(wta.result(), expected, rtol=0, atol=0), \
+        (wta.result(), expected)
+
+    # result() resets the accumulator: a second immediate fire falls back
+    # to the latest snapshot (documented edge semantics)
+    assert np.allclose(wta.result(), vals[-1])
+
+    # -- AveragedTimeInterval: trailing window + stride -------------------
+    sched = AveragedTimeInterval(10.0, window=4.0, stride=2)
+    sim = _TinySim()
+    wta = WindowedTimeAverage(lambda s: np.array([s.val]), schedule=sched)
+    # f(t) = t; steps of 1: window [6, 10], stride 2 keeps every other
+    # collected sample. Samples inside the window land at t = 6..10.
+    samples = []
+    for k in range(11):
+        sim.t = float(k)
+        sim.val = float(k)
+        wta(sim)
+        if sched.collecting(sim.t):
+            samples.append((sim.t, sim.val))
+    kept = samples[::2]  # stride 2 over the in-window collection sequence
+    num = sum((t1 - t0) * v1
+              for (t0, _v0), (t1, v1) in zip(kept[:-1], kept[1:]))
+    den = kept[-1][0] - kept[0][0]
+    assert np.allclose(wta.result(), num / den), (wta.result(), num / den)
