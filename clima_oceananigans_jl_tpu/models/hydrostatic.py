@@ -76,9 +76,11 @@ class HydrostaticFreeSurfaceModel:
                           and jax.default_backend() == "tpu"))
         hx = hy = h_req
         if want_fused:
-            # fused Pallas tendencies: y-halo a multiple of 4 (sublane-8
-            # tile windows); with an immersed boundary the conditional
-            # fluxes read ±(buffer+1), which must stay in-window
+            # fused Pallas tendencies: x/y halos multiples of 4 so the
+            # tiled windows' sublane dims are 8-divisible in every block
+            # layout (ops/fused_hydrostatic.py); with an immersed boundary
+            # the conditional fluxes read ±(buffer+1), which must stay
+            # in-window
             if immersed_boundary is not None:
                 from ..advection.schemes import AdvectionScheme
                 hb = max((s.buffer + 1 for s in (self.momentum_advection,
@@ -86,6 +88,7 @@ class HydrostaticFreeSurfaceModel:
                           if isinstance(s, AdvectionScheme) and s.buffer > 0),
                          default=0)
                 hx = hy = max(h_req, hb)
+            hx = -(-hx // 4) * 4
             hy = -(-hy // 4) * 4
         self.grid = grid.with_halo((hx, hy, h_req))
         # immersed boundary: masks built on the final grid, grid wrapped
@@ -202,7 +205,15 @@ class HydrostaticFreeSurfaceModel:
         Hz, Nz = g.Hz, g.Nz
         d = op.div_xy_ccc(sol["u"], sol["v"], g)          # (X,Y,Z) at centers
         incr = (jnp.broadcast_to(g.dz(CENTER), d.shape) * d)[:, :, Hz:Hz + Nz]
-        cum = jnp.cumsum(incr, axis=2)                     # ∫ up through cell k
+        if jax.default_backend() == "tpu" and Nz > 1:
+            # cumulative sum as a triangular matmul — rides the MXU
+            # instead of a log-depth scan (same trick as the pHY′
+            # integral, buoyancy.py hydrostatic_pressure_anomaly)
+            L = jnp.tril(jnp.ones((Nz, Nz), incr.dtype)).T  # L[j,k]=1, j≤k
+            cum = jax.lax.dot_general(incr, L, (((2,), (0,)), ((), ())),
+                                      preferred_element_type=incr.dtype)
+        else:
+            cum = jnp.cumsum(incr, axis=2)                 # ∫ up through cell k
         w = jnp.zeros(g.total_shape, g.dtype)
         # face k+1 (array index Hz+1+k) = −cumsum through cell k; face Hz = 0
         w = w.at[:, :, Hz + 1: Hz + Nz + 1].set(-cum)

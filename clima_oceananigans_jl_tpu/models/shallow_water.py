@@ -201,8 +201,11 @@ class ShallowWaterModel:
             f = new_field(g, locs[name], self.bcs[name])
             sol[name] = set_field(f, g, vals[name]).data
         clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
-        zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
-        state = dict(solution=sol, clock=clock, G_prev=zeros)
+        # RK3 carries no tendency history ACROSS steps (the ζ stages use
+        # the within-step G only), so the state stores no G_prev: at
+        # 16384² fp32 those 3 dead arrays are 3.2 GB — the difference
+        # between fitting the reference's headline grid in 16 GB or not
+        state = dict(solution=sol, clock=clock)
         if self.particles is not None:
             state["particles"] = self.particles
         return state
@@ -370,7 +373,7 @@ class ShallowWaterModel:
             state = dict(state, solution=sol, clock=clock)
             G_prev = G
         clock = Clock(clock0.time + dt, clock0.iteration + 1, 0)
-        state = dict(state, clock=clock, G_prev=G_prev)
+        state = dict(state, clock=clock)
         p = state.get("particles")
         if p is not None:
             vels = self.velocities(state)

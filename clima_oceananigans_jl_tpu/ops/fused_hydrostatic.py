@@ -184,6 +184,35 @@ def _tile_sizes_zy(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
     return best[1], best[2]
 
 
+def _tile_sizes_zxy(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
+    """(TX, TY) for the (z, x, y) block layout: z is the leading (untiled,
+    unpadded) dim, x the sublane (pad 8; blocked outputs need TX
+    8-divisible or full), y the lane (TY 128-divisible or full). Scored
+    by useful fraction of the padded window."""
+    def pad(v, m):
+        return -(-v // m) * m
+
+    best = None
+    for ty in [d for d in range(1, ny + 1) if ny % d == 0]:
+        if ty % 128 and ty != ny:
+            continue
+        ty_w = ty + 2 * hy
+        for tx in [d for d in range(1, nx + 1) if nx % d == 0]:
+            if tx % 8 and tx != nx:
+                continue
+            tx_w = tx + 2 * hx
+            win = zt * pad(tx_w, 8) * pad(ty_w, 128) * itemsize
+            if win > budget_bytes:
+                continue
+            eff = (tx * ty) / (pad(tx_w, 8) * pad(ty_w, 128))
+            key = (round(eff, 3), tx * ty)
+            if best is None or key > best[0]:
+                best = (key, tx, ty)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
 def fused_hydrostatic_tendencies(model, state, interpret=None):
     """One fused pass: −U·∇(u,v) − f×U − ∇pHY′ and −∇·(U c) per tracer.
     Returns a dict of with-halo tendency arrays (x/y halo regions zero,
@@ -231,18 +260,29 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
                    if s is not None)
     need_yt = any_weno and not parent._axes[1].regular
     # layout choice: transpose when the z lane padding wastes ≥25% and a
-    # y tile with decent lane efficiency exists
+    # y tile with decent lane efficiency exists. "zy" (x leading, z
+    # sublane, y lane) measures fastest at ¼°: 17.2 ms vs 22.2 ms for
+    # "zxy" (z leading, x sublane, y lane) — zxy's XLA-layout-matched
+    # transposes are cheaper, but its 8-padded x sublane window at the
+    # VMEM-budget-limited tx=8 wastes more VPU than the transposes cost
+    # (zy's leading x dim is untiled and unpadded). Both are maintained;
+    # CLIMA_HYDRO_LAYOUT=yz|zy|zxy (env) forces one.
     forced = os.environ.get("CLIMA_HYDRO_LAYOUT")
     lane_pad = (-(-zt // 128) * 128) / zt
-    transposed = (forced == "zy" if forced
-                  else lane_pad >= 1.25 and ny >= 64 and not need_yt)
-    pack = build_metric_pack(
-        grid,
-        need_ynodes=need_ynodes,
-        need_ztables=any_weno and not parent._axes[2].regular,
-        need_ytables=need_yt,
-        layout="zy" if transposed else "yz",
-    )
+    if forced:
+        layout = forced
+    elif lane_pad >= 1.25 and ny >= 64 and not need_yt:
+        layout = "zy"
+    else:
+        layout = "yz"
+
+    def _build_pack(lay):
+        return build_metric_pack(
+            grid, need_ynodes=need_ynodes,
+            need_ztables=any_weno and not parent._axes[2].regular,
+            need_ytables=need_yt, layout=lay)
+
+    pack = _build_pack(layout)
 
     # -- near-boundary order reduction (absolute bounds + iota offsets) --
     from ..advection.schemes import reduced_order_masks
@@ -265,16 +305,14 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     n_tr = len(names)
     nfields = 3 + n_tr + int(has_ph) + len(mask_locs)
     budget = int(12_000_000 / max(4, nfields))
-    if transposed:
-        sizes = _tile_sizes_zy(nx, ny, hx, hy, zt,
-                               itemsize=dtype.itemsize, budget_bytes=budget)
+    if layout != "yz":
+        fn = _tile_sizes_zxy if layout == "zxy" else _tile_sizes_zy
+        sizes = fn(nx, ny, hx, hy, zt, itemsize=dtype.itemsize,
+                   budget_bytes=budget)
         if sizes is None:  # no legal transposed tiling — fall back
-            transposed = False
-            pack = build_metric_pack(grid, need_ynodes=need_ynodes,
-                                     need_ztables=any_weno
-                                     and not parent._axes[2].regular,
-                                     need_ytables=need_yt, layout="yz")
-    if transposed:
+            layout = "yz"
+            pack = _build_pack(layout)
+    if layout != "yz":
         tx, ty = sizes
     else:
         tx, ty = _tile_sizes(nx, ny, hx, hy, zt, itemsize=dtype.itemsize,
@@ -285,8 +323,10 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     if has_ph:
         field_inputs.append(state["pHY"])
     field_inputs += mask_arrays
-    if transposed:
+    if layout == "zy":
         field_inputs = [a.transpose(0, 2, 1) for a in field_inputs]
+    elif layout == "zxy":
+        field_inputs = [a.transpose(2, 0, 1) for a in field_inputs]
     has_pack = pack.pack is not None
 
     def kernel(*refs):
@@ -317,15 +357,17 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
 
         ub, vb, wb = (r[:] for r in f_refs[:3])
         tr_blocks = {n: f_refs[3 + i][:] for i, n in enumerate(names)}
-        if transposed:  # block dims are (x, z, y)
-            sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
-                  slice(None),
-                  slice(hy, hy + ty) if ub.shape[2] > ty else slice(None))
+        # input windows always carry x/y halos; outputs are interior tiles
+        xsl = slice(hx, hx + tx)
+        ysl = slice(hy, hy + ty)
+        if layout == "zy":  # block dims are (x, z, y)
+            sl = (xsl, slice(None), ysl)
             perm_ctx = st.axis_permutation((0, 2, 1))
+        elif layout == "zxy":  # block dims are (z, x, y)
+            sl = (slice(None), xsl, ysl)
+            perm_ctx = st.axis_permutation((1, 2, 0))
         else:
-            sl = (slice(hx, hx + tx) if ub.shape[0] > tx else slice(None),
-                  slice(hy, hy + ty) if ub.shape[1] > ty else slice(None),
-                  slice(None))
+            sl = (xsl, ysl, slice(None))
             perm_ctx = contextlib.nullcontext()
         with perm_ctx, _fast_div():
             G = hydrostatic_advective_core(
@@ -336,12 +378,12 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
 
     smem = pl.BlockSpec((1, 1), lambda jy, jx: (0, 0),
                         memory_space=pltpu.SMEM)
-    if transposed:
-        # single-y-tile index maps emit a LITERAL 0: Mosaic must statically
-        # prove lane-dim window starts 128-aligned, and jy*ty with a
-        # non-128-multiple full-row ty (e.g. 600) is unprovable even though
-        # jy is always 0
-        yoff = (lambda jy: jy * ty) if ny // ty > 1 else (lambda jy: 0)
+    # single-y-tile index maps emit a LITERAL 0: Mosaic must statically
+    # prove lane-dim window starts 128-aligned, and jy*ty with a
+    # non-128-multiple full-row ty (e.g. 600) is unprovable even though
+    # jy is always 0
+    yoff = (lambda jy: jy * ty) if ny // ty > 1 else (lambda jy: 0)
+    if layout == "zy":
         win = pl.BlockSpec(
             (pl.Element(tx + 2 * hx), pl.Element(zt),
              pl.Element(ty + 2 * hy)),
@@ -352,6 +394,17 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
             lambda jy, jx: (0, 0, yoff(jy)))
         out_spec = pl.BlockSpec((tx, zt, ty), lambda jy, jx: (jx, 0, jy))
         out_shape = jax.ShapeDtypeStruct((nx, zt, ny), dtype)
+    elif layout == "zxy":
+        win = pl.BlockSpec(
+            (pl.Element(zt), pl.Element(tx + 2 * hx),
+             pl.Element(ty + 2 * hy)),
+            lambda jy, jx: (0, jx * tx, yoff(jy)))
+        pack_win = pl.BlockSpec(
+            (pl.Element(pack.n_rows), pl.Element(zt), pl.Element(1),
+             pl.Element(ty + 2 * hy)),
+            lambda jy, jx: (0, 0, 0, yoff(jy)))
+        out_spec = pl.BlockSpec((zt, tx, ty), lambda jy, jx: (0, jx, jy))
+        out_shape = jax.ShapeDtypeStruct((zt, nx, ny), dtype)
     else:
         win = pl.BlockSpec(
             (pl.Element(tx + 2 * hx), pl.Element(ty + 2 * hy),
@@ -380,8 +433,10 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*inputs)
 
-    if transposed:
+    if layout == "zy":
         outs = [o.transpose(0, 2, 1) for o in outs]
+    elif layout == "zxy":
+        outs = [o.transpose(1, 2, 0) for o in outs]
     pad = ((hx, hx), (hy, hy), (0, 0))
     G = {"u": jnp.pad(outs[0], pad), "v": jnp.pad(outs[1], pad)}
     for i, n in enumerate(names):

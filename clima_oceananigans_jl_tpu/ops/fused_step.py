@@ -38,12 +38,20 @@ from . import stencil as st
 
 def fused_step_ok(model):
     """Static check: every tendency term of this model configuration is
-    expressible inside the fused kernel (see module docstring)."""
+    expressible inside the fused kernel (see module docstring). Coriolis
+    rides the kernel for f-plane/β-plane (pointwise horizontal interps of
+    in-VMEM blocks — no z shifts, so z_slim wrap safety is untouched;
+    the f/β scalars arrive via SMEM and latitude rows via the metric
+    pack, like the hydrostatic kernel's spherical Coriolis)."""
+    from ..coriolis.coriolis import BetaPlane, FPlane
     if not model.fused_advection:
         return False
     if model.timestepper != "QuasiAdamsBashforth2":
         return False
-    if (model.closure is not None or model.coriolis is not None
+    if model.coriolis is not None and not isinstance(model.coriolis,
+                                                     (FPlane, BetaPlane)):
+        return False
+    if (model.closure is not None
             or model.stokes_drift is not None or model.forcing
             or model.background_fields or model.immersed_boundary is not None
             or model.particles is not None):
@@ -105,11 +113,18 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     # rows ride a metric-pack input (z_slim is regular-z only, so pack
     # rows always span the full zt window). See fused_tendencies.
     from ..advection.schemes import WENO5
+    from ..coriolis.coriolis import BetaPlane
     from .kernel_grid import build_metric_pack
     any_weno = any(isinstance(s, WENO5) for s in (scheme, tracer_scheme))
-    pack = build_metric_pack(grid, need_ztables=any_weno
-                             and not grid.z_regular)
+    cor = model.coriolis
+    pack = build_metric_pack(
+        grid, need_ztables=any_weno and not grid.z_regular,
+        need_ynodes=(C, F) if isinstance(cor, BetaPlane) else ())
     has_pack = pack.pack is not None
+    # Coriolis scalars (f or f0/β — leaves may be traced) ride SMEM; the
+    # object is rebuilt in-kernel, exactly like the hydrostatic kernel
+    cor_leaves, cor_treedef = jax.tree_util.tree_flatten(cor)
+    cor_smem = [jnp.asarray(l, grid.dtype).reshape(1, 1) for l in cor_leaves]
 
     has_ph = model.buoyancy is not None and "pHY" in state
     dxu = pack.scalars[("dx", F, C)]
@@ -150,10 +165,20 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
         gp_interior = False
 
     def kernel(c1_ref, c2_ref, dt_ref, *refs):
+        cor_refs = refs[:len(cor_smem)]
+        refs = refs[len(cor_smem):]
         if has_pack:
             pack_ref, refs = refs[0], refs[1:]
-        cg = pack.kernel_grid(pack_ref[:] if has_pack else None,
-                              reduced_masks=rmasks or None)
+        # under z_slim the field blocks carry nz lanes; slice the pack
+        # rows to match (z_slim implies regular z, so no table rows whose
+        # wrap entries the slice could corrupt)
+        pack_block = None
+        if has_pack:
+            pack_block = _zslim_in(pack_ref[:], hz, zk) if z_slim \
+                else pack_ref[:]
+        cg = pack.kernel_grid(pack_block, reduced_masks=rmasks or None)
+        cor_k = jax.tree_util.tree_unflatten(
+            cor_treedef, [r[0, 0] for r in cor_refs])
         prog = refs[:nfields]
         ph_b = _zslim_in(refs[nfields][:], hz, zk) if has_ph else None
         gp = refs[nfields + int(has_ph): nfields + int(has_ph) + nfields]
@@ -169,6 +194,12 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
             G = [-div_vu(cg, scheme, ub, vb, wb),
                  -div_vv(cg, scheme, ub, vb, wb),
                  -div_vw(cg, scheme, ub, vb, wb)]
+            if cor_k is not None:
+                # term order matches the jnp path: advection → coriolis
+                # → pHY′ (f-plane/β-plane: x/y interps only, z_slim-safe)
+                G[0] = G[0] - cor_k.x_f_cross_U(cg, ub, vb, wb)
+                G[1] = G[1] - cor_k.y_f_cross_U(cg, ub, vb, wb)
+                G[2] = G[2] - cor_k.z_f_cross_U(cg, ub, vb, wb)
             if has_ph:
                 G[0] = G[0] - st.dxf(ph_b) / dxu
                 G[1] = G[1] - st.dyf(ph_b) / dyv
@@ -204,13 +235,15 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     outs = pl.pallas_call(
         kernel,
         grid=(nx // tx, ny // ty),
-        in_specs=([smem] * 3 + ([pack_win] if has_pack else [])
+        in_specs=([smem] * (3 + len(cor_smem))
+                  + ([pack_win] if has_pack else [])
                   + [win] * len(inputs) + [gp_win] * nfields),
         out_specs=[out_spec] * (2 * nfields),
         out_shape=[out_shape] * (2 * nfields),
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(c1, c2, dts, *(([pack.pack] if has_pack else []) + inputs),
+    )(c1, c2, dts, *cor_smem,
+      *(([pack.pack] if has_pack else []) + inputs),
       *[G_prev[n] for n in field_names])
 
     pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))

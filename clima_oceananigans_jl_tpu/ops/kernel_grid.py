@@ -129,6 +129,11 @@ class MetricPack:
     axes: tuple           # (_DuckAxis, _DuckAxis, _DuckAxis) topo/regular
     z_table_keys: tuple   # subset of keys holding z cf/cc rows (1D use)
     y_table_keys: tuple   # subset of keys holding y cf/cc rows (1D use)
+    #: "yz": rows (ny_tot, zt) for natural (x, y, z) blocks; "zy": rows
+    #: (zt, ny_tot) for transposed (x, z, y) blocks; "zxy": rows
+    #: (zt, 1, ny_tot) for (z, x, y) blocks — the layout matching XLA's
+    #: natural physical layout for shallow-z arrays, so the surrounding
+    #: jnp.transpose(2,0,1)s are layout-preserving
     layout: str = "yz"
 
     @property
@@ -145,10 +150,10 @@ class MetricPack:
             entries[k] = pack_block[i]
         axes = list(self.axes)
         if ("zcf",) in entries:
-            if self.layout == "zy":
-                # transposed layout: keep the full 2D (zt, ty_w) rows —
-                # table algebra rolls axis 0 and the coefficient arrays
-                # broadcast against the blocks' trailing (z, y) dims with
+            if self.layout in ("zy", "zxy"):
+                # transposed layouts: keep the full 2D/3D rows — the
+                # table algebra rolls axis 0 (z) and the coefficient
+                # arrays broadcast against the blocks' trailing dims with
                 # no lane relayout
                 zcf, zcc = entries[("zcf",)], entries[("zcc",)]
             else:
@@ -156,9 +161,9 @@ class MetricPack:
                 zcf, zcc = entries[("zcf",)][0], entries[("zcc",)][0]
             axes[2] = dataclasses.replace(axes[2], cf=zcf, cc=zcc)
         if ("ycf",) in entries:
-            if self.layout == "zy":
+            if self.layout != "yz":
                 raise NotImplementedError(
-                    "stretched-y WENO tables in the transposed layout")
+                    "stretched-y WENO tables in a transposed layout")
             # stretched-y tables: (ty_w,) rows (z-constant → lane 0)
             axes[1] = dataclasses.replace(axes[1],
                                           cf=entries[("ycf",)][:, 0],
@@ -209,15 +214,18 @@ def build_metric_pack(grid, need_ynodes=(), need_ztables=False,
     dtype = parent.dtype
 
     scalars = {}
-    rows = {}  # key -> (ny_tot, zt)- (or (zt, ny_tot)-) broadcastable array
-    shape = (ny_tot, zt) if layout == "yz" else (zt, ny_tot)
+    rows = {}  # key -> layout-shaped broadcastable array
+    shape = {"yz": (ny_tot, zt), "zy": (zt, ny_tot),
+             "zxy": (zt, 1, ny_tot)}[layout]
 
     def put(key, val, kind):
         """kind: 'y' (1D over y), 'z' (1D over z)."""
         if layout == "yz":
             v = val[:, None] if kind == "y" else val[None, :]
-        else:
+        elif layout == "zy":
             v = val[None, :] if kind == "y" else val[:, None]
+        else:  # zxy: rows (zt, 1, ny_tot) broadcast against (zt, tx, ty)
+            v = val[None, None, :] if kind == "y" else val[:, None, None]
         rows[key] = jnp.broadcast_to(v, shape)
 
     is_latlon = isinstance(parent, LatitudeLongitudeGrid)

@@ -3,6 +3,7 @@ mode on CPU; the TPU bench uses the compiled kernel)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clima_oceananigans_jl_tpu import PERIODIC, BOUNDED, RectilinearGrid, WENO5, CenteredSecondOrder
 from clima_oceananigans_jl_tpu.advection.fluxes import div_Uc, div_vu, div_vv, div_vw
@@ -300,3 +301,39 @@ def test_fused_step_stretched_z_model_equivalence():
         b = np.asarray(m_j.grid.interior(s_j["solution"][n]))
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() <= 1e-12 * scale, n
+
+
+@pytest.mark.parametrize("cor", ["fplane", "betaplane"])
+def test_fused_ab2_step_with_coriolis_bitwise(cor):
+    """Coriolis folded INTO the fused AB2 kernel (f-plane / β-plane):
+    multi-step solutions must stay bit-identical to the plain path."""
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu.coriolis.coriolis import BetaPlane, FPlane
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+
+    coriolis = (FPlane(f=1e-4) if cor == "fplane"
+                else BetaPlane(f0=1e-4, beta=1e-11))
+    n = 16
+    sols = {}
+    for fused in (True, False):
+        grid = RectilinearGrid(size=(n, n, n), extent=(1., 1., 1.),
+                               topology=(PERIODIC, PERIODIC, BOUNDED),
+                               dtype=jnp.float64)
+        m = NonhydrostaticModel(grid, advection=WENO5(),
+                                buoyancy=BuoyancyTracer(), coriolis=coriolis,
+                                fused_advection=fused)
+        assert m.fused_step == fused
+        key = jax.random.PRNGKey(2)
+        ku, kv, kb = jax.random.split(key, 3)
+        s = m.initial_state(
+            u=1e-2 * jax.random.normal(ku, grid.shape, grid.dtype),
+            v=1e-2 * jax.random.normal(kv, grid.shape, grid.dtype),
+            b=1e-4 * jax.random.normal(kb, grid.shape, grid.dtype))
+        step = jax.jit(m.step)
+        for _ in range(3):
+            s = step(s, jnp.float64(1e-3))
+        sols[fused] = {k: np.asarray(m.grid.interior(v))
+                       for k, v in s["solution"].items()}
+    for k in sols[True]:
+        assert np.array_equal(sols[True][k], sols[False][k]), k
