@@ -66,23 +66,27 @@ def bench(name, fn, *args):
     return out
 
 
+perm = model._perm
+print("state_layout:", model.state_layout, flush=True)
 G = bench("tendencies (fused)", model.tendencies, state)
 sol = bench("ab2_substep",
             lambda s, G: ab2_substep(s["solution"], G, s["G_prev"],
                                      dt, model.ab2_chi, False), state, G)
 bench("barotropic_mode x2",
-      lambda s: barotropic_mode(g, s["solution"]["u"], s["solution"]["v"]),
+      lambda s: barotropic_mode(g, s["solution"]["u"], s["solution"]["v"],
+                                perm=perm),
       state)
-U0, V0 = barotropic_mode(g, state["solution"]["u"], state["solution"]["v"])
-GU, _ = barotropic_mode(g, G["u"], G["v"])
-_, GV = barotropic_mode(g, G["u"], G["v"])
+U0, V0 = barotropic_mode(g, state["solution"]["u"], state["solution"]["v"],
+                         perm=perm)
+GU, _ = barotropic_mode(g, G["u"], G["v"], perm=perm)
+_, GV = barotropic_mode(g, G["u"], G["v"], perm=perm)
 bench(f"split-explicit x{nsub}",
       lambda eta, GU, GV, U0, V0: fs.substep_eta(g, model.eta_bcs, eta,
                                                  GU, GV, U0, V0, dt),
       state["eta"], GU, GV, U0, V0)
 bench("corrector",
       lambda s, U, V: fs.corrector(g, s["solution"]["u"],
-                                   s["solution"]["v"], U, V),
+                                   s["solution"]["v"], U, V, perm=perm),
       state, U0, V0)
 bench("fill_all_halos", lambda s: model.fill_all_halos(s["solution"]), state)
 bench("compute_w", lambda s: model.compute_w(s["solution"]), state)

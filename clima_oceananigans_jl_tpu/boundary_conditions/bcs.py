@@ -199,12 +199,16 @@ def _layer_shape(data, axis, n):
     return tuple(shape)
 
 
-def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
+def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None):
     """(slab, cut) for one bounded side: `slab` replaces array indices
-    [0:cut) (side 0) or [cut:end) (side 1). slab=None → nothing to write."""
+    [0:cut) (side 0) or [cut:end) (side 1). slab=None → nothing to write.
+    ``perm``: physical axis permutation for arrays stored transposed
+    (logical axis a lives at data axis perm[a]) — grid/BC lookups stay
+    logical, data indexing uses the physical axis."""
     N = grid.shape[axis]
     H = grid.halo[axis]
     ax = grid._axes[axis]
+    pax = axis if perm is None else perm[axis]
     face_loc = loc[axis] is F
     if bc is None or bc.kind in ("communication", "periodic"):
         return None, (H if side == 0 else H + N + (1 if face_loc else 0))
@@ -213,6 +217,8 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
     # apply_flux_bcs — never evaluate their value here (a discrete-form
     # flux callable has the signature (grid, clock, fields), not (x,y,t))
     b = None if kind == "flux" else _bvalue(bc, grid, axis, side, loc, t)
+    if perm is not None and getattr(b, "ndim", 0) == 3:
+        b = jnp.transpose(b, perm)
     clampc = lambda i: min(max(i, H), H + N - 1)
 
     if not face_loc:
@@ -224,7 +230,7 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
             ghosts = list(range(H + N, H + N + H))
             mirrors = [clampc(2 * (H + N) - 1 - g) for g in ghosts]
             cut = H + N
-        slab = _mirror_slab(data, axis, mirrors)
+        slab = _mirror_slab(data, pax, mirrors)
         if kind == "value":
             slab = 2.0 * b - slab
         elif kind == "gradient":
@@ -233,11 +239,11 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
             #       = mirror + b·(c_ghost − c_mirror) on the right
             dist = jnp.stack([cc[m] - cc[g] for g, m in zip(ghosts, mirrors)])
             shape = [1] * data.ndim  # rank-agnostic (2D free-surface fields)
-            shape[axis] = H
+            shape[pax] = H
             dist = dist.reshape(shape)
             slab = slab - b * dist
         # flux/default: zero-gradient mirror (slab as is)
-        return jnp.broadcast_to(slab, _layer_shape(data, axis, H)), cut
+        return jnp.broadcast_to(slab, _layer_shape(data, pax, H)), cut
 
     # face-located: boundary face at H (left) / H+N (right)
     bidx = H if side == 0 else H + N
@@ -248,20 +254,20 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0):
         ghosts = list(range(bidx + 1, bidx + H))
     mirrors = [min(max(2 * bidx - g, lo), hi) for g in ghosts]
     if kind in ("open", "value"):
-        bf = jnp.broadcast_to(b, _layer_shape(data, axis, 1))
-        ghost = (2.0 * b - _mirror_slab(data, axis, mirrors)) if ghosts else None
+        bf = jnp.broadcast_to(b, _layer_shape(data, pax, 1))
+        ghost = (2.0 * b - _mirror_slab(data, pax, mirrors)) if ghosts else None
         if side == 0:
-            parts = ([jnp.broadcast_to(ghost, _layer_shape(data, axis, len(ghosts))), bf]
+            parts = ([jnp.broadcast_to(ghost, _layer_shape(data, pax, len(ghosts))), bf]
                      if ghost is not None else [bf])
-            return jnp.concatenate(parts, axis=axis), H + 1
-        parts = ([bf, jnp.broadcast_to(ghost, _layer_shape(data, axis, len(ghosts)))]
+            return jnp.concatenate(parts, axis=pax), H + 1
+        parts = ([bf, jnp.broadcast_to(ghost, _layer_shape(data, pax, len(ghosts)))]
                  if ghost is not None else [bf])
-        return jnp.concatenate(parts, axis=axis), H + N
+        return jnp.concatenate(parts, axis=pax), H + N
     # flux/default: zero-gradient mirror about the (untouched) boundary face
     if not ghosts:
         return None, (H if side == 0 else H + N + 1)
-    slab = jnp.broadcast_to(_mirror_slab(data, axis, mirrors),
-                            _layer_shape(data, axis, len(ghosts)))
+    slab = jnp.broadcast_to(_mirror_slab(data, pax, mirrors),
+                            _layer_shape(data, pax, len(ghosts)))
     return slab, (H if side == 0 else H + N + 1)
 
 
@@ -278,13 +284,15 @@ def _fill_bounded_side(data, grid, loc, axis, side, bc, t=0.0):
     return jnp.concatenate([data[tuple(sl)], slab], axis=axis)
 
 
-def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
+def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
+                    perm=None):
     topo = grid.topology[axis]
     if topo is FLAT:
         return data
     N = grid.shape[axis]
     H = grid.halo[axis]
-    S = lambda idx: _axslice(data, axis, idx)
+    pax = axis if perm is None else perm[axis]
+    S = lambda idx: _axslice(data, pax, idx)
 
     if topo in (PERIODIC,):
         # two in-place slab updates: XLA aliases the buffer and touches
@@ -294,6 +302,7 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
         data = data.at[S(slice(0, H))].set(data[S(slice(N, N + H))])
         return data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
     if topo is FULLY_CONNECTED:
+        assert perm is None, "distributed fills run in the natural layout"
         dist = getattr(grid, "dist", (None, None, None))[axis]
         if dist is None:
             return data  # filled by an external (multi-region) exchange
@@ -310,12 +319,12 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0):
 
     # bounded: in-place slab writes (both slabs computed from the
     # pre-update data; see the periodic branch for why not concat)
-    left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t)
-    right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t)
+    left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t, perm=perm)
+    right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t, perm=perm)
     if left is not None:
         data = data.at[S(slice(0, cut0))].set(left)
     if right is not None:
-        data = data.at[S(slice(cut1, data.shape[axis]))].set(right)
+        data = data.at[S(slice(cut1, data.shape[pax]))].set(right)
     return data
 
 
@@ -360,17 +369,20 @@ def impose_cut_wall_faces(data, grid, loc, bcs=None, t=0.0):
     return data
 
 
-def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2)):
+def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2), perm=None):
     """Fill all halo regions of `data`. Periodic axes first (reference
     fill_halo_regions.jl:57-95 ordering) so corner halos end up consistent.
     `axes` restricts the fill (e.g. (0, 1) for z-reduced free-surface
-    fields whose array has no z halo)."""
+    fields whose array has no z halo). ``perm``: physical permutation of
+    a transposed array (logical axis a at data axis perm[a]) — used by
+    the hydrostatic model's shallow-z (x, z, y) state layout."""
     if bcs is None:
         bcs = default_bcs(grid, loc)
     order = sorted((a for a in axes), key=lambda a: grid.topology[a] is not PERIODIC)
     pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north), (bcs.bottom, bcs.top))
     for axis in order:
-        data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t)
+        data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t,
+                               perm=perm)
     return data
 
 

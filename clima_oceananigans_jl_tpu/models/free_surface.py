@@ -37,17 +37,27 @@ def fill2d(arr, grid, loc, bcs=None, t=0.0):
     return fill_halos(arr, grid, loc, bcs, t, axes=(0, 1))
 
 
-def depth_integral(grid, q, loc):
-    """∫ q dz over interior z (with-halo (X,Y,1) result)."""
-    dz = grid.dz(loc)
+def depth_integral(grid, q, loc, perm=None):
+    """∫ q dz over interior z (with-halo (X,Y,1) result). ``perm``: q is
+    stored with logical axis a at physical axis perm[a] (the hydrostatic
+    (x, z, y) layout); the RESULT is always the natural (X, Y, 1)."""
     Hz, Nz = grid.Hz, grid.Nz
-    qdz = q * dz
-    return jnp.sum(qdz[:, :, Hz:Hz + Nz], axis=2, keepdims=True)
+    if perm is None:
+        qdz = q * grid.dz(loc)
+        return jnp.sum(qdz[:, :, Hz:Hz + Nz], axis=2, keepdims=True)
+    from ..ops.permuted import PermutedGrid
+    zax = perm[2]
+    qdz = q * PermutedGrid(grid, perm).dz(loc)
+    sl = [slice(None)] * 3
+    sl[zax] = slice(Hz, Hz + Nz)
+    out = jnp.sum(qdz[tuple(sl)], axis=zax)  # 2D, axes in (x, y) order
+    return out[:, :, None] if perm[0] < perm[1] else out.T[:, :, None]
 
 
-def barotropic_mode(grid, u, v):
+def barotropic_mode(grid, u, v, perm=None):
     """(U, V) = (∫u dz, ∫v dz) (reference barotropic_mode_kernel!)."""
-    return depth_integral(grid, u, U_LOC), depth_integral(grid, v, V_LOC)
+    return (depth_integral(grid, u, U_LOC, perm=perm),
+            depth_integral(grid, v, V_LOC, perm=perm))
 
 
 def column_depths(grid):
@@ -352,10 +362,15 @@ class SplitExplicitFreeSurface:
             return eta_av[:, :, None], U_av[:, :, None], V_av[:, :, None]
         return eta_av, U_av, V_av
 
-    def corrector(self, grid, u, v, U_av, V_av):
-        """u += (U̅ − ∫u dz)/H (reference barotropic_split_explicit_corrector!)."""
+    def corrector(self, grid, u, v, U_av, V_av, perm=None):
+        """u += (U̅ − ∫u dz)/H (reference barotropic_split_explicit_corrector!).
+        ``perm``: u/v stored permuted (hydrostatic (x, z, y) layout); the
+        2D increments are transposed to broadcast (cheap — (X, Y, 1))."""
         Hfc, Hcf = column_depths(grid)
-        U, V = barotropic_mode(grid, u, v)
-        u = u + (U_av - U) / Hfc
-        v = v + (V_av - V) / Hcf
-        return u, v
+        U, V = barotropic_mode(grid, u, v, perm=perm)
+        du = (U_av - U) / Hfc
+        dv = (V_av - V) / Hcf
+        if perm is not None:
+            du = jnp.transpose(du, perm)
+            dv = jnp.transpose(dv, perm)
+        return u + du, v + dv

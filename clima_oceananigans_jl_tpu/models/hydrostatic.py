@@ -18,6 +18,8 @@ pure function of ``(state, Δt)``.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -128,6 +130,44 @@ class HydrostaticFreeSurfaceModel:
         from ..ops.fused_hydrostatic import supports_fused_hydrostatic
         self.fused_advection = bool(want_fused
                                     and supports_fused_hydrostatic(self))
+        self.state_layout = self._pick_state_layout()
+
+    def _pick_state_layout(self):
+        """(x, z, y) state storage for shallow-z grids: the natural
+        (x, y, z) layout puts z in the 128-padded lane dimension, so a
+        zt ≈ 30 field streams 4.3× its useful bytes through EVERY XLA
+        pass (fills, w-from-continuity, pHY′, substep). Storing the 3D
+        state transposed (y in lanes, z in 8-padded sublanes) removes
+        that tax AND matches the fused kernel's "zy" block layout, so the
+        per-step transposes around the kernel vanish too (ops/permuted.py).
+        Gated to configurations whose step stays fully layout-aware."""
+        from ..ops.fused_hydrostatic import preferred_hydro_layout, zy_tiling_ok
+        if os.environ.get("CLIMA_NO_XZY"):
+            return None
+        if not self.fused_advection:
+            return None
+        if preferred_hydro_layout(self) != "zy" or not zy_tiling_ok(self):
+            return None
+        parent = getattr(self.grid, "parent", self.grid)
+        if parent.dist != (None, None, None):
+            return None
+        if (self.closure is not None or self.immersed_boundary is not None
+                or self.particles is not None or self.forcing):
+            return None
+        # tendency-level boundary fluxes and discrete-form BCs evaluate
+        # in the natural orientation — keep those configs there
+        for bcs in list(self.bcs.values()) + [self.w_bcs]:
+            for _a, _s, bc in bcs.sides():
+                if bc is not None and (bc.discrete or
+                                       (bc.kind == "flux" and bc.value is not None)):
+                    return None
+        return "xzy"
+
+    @property
+    def _perm(self):
+        """Physical axis permutation of the 3D state (None = natural)."""
+        from ..ops.permuted import XZY
+        return XZY if self.state_layout == "xzy" else None
 
     # -- pytree ---------------------------------------------------------------
     def tree_flatten(self):
@@ -137,7 +177,8 @@ class HydrostaticFreeSurfaceModel:
         fk = tuple(sorted(self.forcing))
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
-                  tuple(self.forcing[k] for k in fk), self.fused_advection)
+                  tuple(self.forcing[k] for k in fk), self.fused_advection,
+                  self.state_layout)
         return leaves, static
 
     @classmethod
@@ -147,7 +188,7 @@ class HydrostaticFreeSurfaceModel:
          obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs,
          obj.particles, obj.immersed_boundary) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
-         obj.ab2_chi, fk, fv, obj.fused_advection) = static
+         obj.ab2_chi, fk, fv, obj.fused_advection, obj.state_layout) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -182,6 +223,9 @@ class HydrostaticFreeSurfaceModel:
             eta_arr = eta_arr + eta
         eta_arr = fill2d(eta_arr, g, ETA_LOC, self.eta_bcs)
         clock = clock or Clock(jnp.zeros((), g.dtype), jnp.zeros((), jnp.int32))
+        if self._perm is not None:
+            from ..ops.permuted import permute
+            sol = {k: permute(v, self._perm) for k, v in sol.items()}
         zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
         if self._explicit_fs:
             zeros["eta"] = jnp.zeros_like(eta_arr)
@@ -193,16 +237,39 @@ class HydrostaticFreeSurfaceModel:
 
     def fill_all_halos(self, sol, t=0.0):
         locs = self._locs()
-        return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name], t)
+        return {name: fill_halos(arr, self.grid, locs[name], self.bcs[name],
+                                 t, perm=self._perm)
                 for name, arr in sol.items()}
 
     def compute_w(self, sol, axes=(0, 1, 2)):
         """w from continuity, integrated bottom-up
         (reference compute_w_from_continuity.jl:30-36). ``axes``
         restricts the final halo fill (the overlap bulk pass fills only
-        the uncut axes, so no collectives are issued)."""
+        the uncut axes, so no collectives are issued). Runs in the
+        model's state layout: under (x, z, y) the divergence uses the
+        permuted stencils/metrics and the integral is a plain cumsum —
+        z sits in the cheap sublane dimension there."""
         g = self.grid
         Hz, Nz = g.Hz, g.Nz
+        perm = self._perm
+        if perm is not None:
+            from ..ops import stencil as st_
+            from ..ops.permuted import PermutedGrid
+            gp = PermutedGrid(g, perm)
+            zax = perm[2]
+            with st_.axis_permutation(perm):
+                d = op.div_xy_ccc(sol["u"], sol["v"], gp)
+                incr = jnp.broadcast_to(gp.dz(CENTER), d.shape) * d
+            sl = [slice(None)] * 3
+            sl[zax] = slice(Hz, Hz + Nz)
+            cum = jnp.cumsum(incr[tuple(sl)], axis=zax)
+            shape = [g.total_shape[a] for a in (0, 1, 2)]
+            w = jnp.zeros(tuple(shape[a] for a in
+                                (0, 2, 1)), g.dtype)  # (x, z, y)
+            wsl = [slice(None)] * 3
+            wsl[zax] = slice(Hz + 1, Hz + Nz + 1)
+            w = w.at[tuple(wsl)].set(-cum)
+            return fill_halos(w, g, W_LOC, self.w_bcs, axes=axes, perm=perm)
         d = op.div_xy_ccc(sol["u"], sol["v"], g)          # (X,Y,Z) at centers
         incr = (jnp.broadcast_to(g.dz(CENTER), d.shape) * d)[:, :, Hz:Hz + Nz]
         if jax.default_backend() == "tpu" and Nz > 1:
@@ -257,8 +324,10 @@ class HydrostaticFreeSurfaceModel:
             state = dict(state, diffusivities=diff)
         if self.buoyancy is not None:
             tr = {n: sol[n] for n in self.tracer_names}
-            ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr)
-            ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t)
+            ph = hydrostatic_pressure_anomaly(self.buoyancy, self.grid, tr,
+                                              perm=self._perm)
+            ph = fill_halos(ph, self.grid, CENTER, self.pressure_bcs, t,
+                            perm=self._perm)
             state = dict(state, pHY=ph)
         return state
 
@@ -381,8 +450,13 @@ class HydrostaticFreeSurfaceModel:
 
         if self._explicit_fs:
             g_const = fs.gravitational_acceleration
-            Gu = Gu - g_const * grad_x(grid, state["eta"])
-            Gv = Gv - g_const * grad_y(grid, state["eta"])
+            gex = g_const * grad_x(grid, state["eta"])   # (X, Y, 1)
+            gey = g_const * grad_y(grid, state["eta"])
+            if self._perm is not None:
+                gex = jnp.transpose(gex, self._perm)
+                gey = jnp.transpose(gey, self._perm)
+            Gu = Gu - gex
+            Gv = Gv - gey
 
         diff = state.get("diffusivities")
         if self.closure is not None:
@@ -422,11 +496,39 @@ class HydrostaticFreeSurfaceModel:
         return G
 
     # -- stepping ---------------------------------------------------------------
+    def _coerce_layout(self, state):
+        """Convert cross-layout state (e.g. a checkpoint written on a
+        backend with the other state layout) into this model's layout.
+        Ambiguous when Yt == Zt — then the state is assumed correct."""
+        xt, yt, zt = self.grid.total_shape
+        u = state["solution"]["u"]
+        if yt == zt or u.ndim != 3:
+            return state
+        from ..ops.permuted import permute, unpermute
+        want = (xt, zt, yt) if self._perm is not None else (xt, yt, zt)
+        other = (xt, yt, zt) if self._perm is not None else (xt, zt, yt)
+        if tuple(u.shape) == want:
+            return state
+        conv = permute if self._perm is not None else unpermute
+
+        def c(a):
+            return (conv(a) if getattr(a, "ndim", 0) == 3
+                    and tuple(a.shape) == other else a)
+        out = dict(state)
+        for k in ("solution", "G_prev"):
+            if k in out and isinstance(out[k], dict):
+                out[k] = {n: c(v) for n, v in out[k].items()}
+        for k in ("w", "pHY"):
+            if k in out:
+                out[k] = c(out[k])
+        return out
+
     def step(self, state, dt):
         """Quasi-AB2 with the free-surface family split out (reference
         hydrostatic_free_surface_ab2_step.jl:14-27)."""
         grid = self.grid
         fs = self.free_surface
+        state = self._coerce_layout(state)
         clock0 = state["clock"]
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
         chi = jnp.where(euler, -0.5, self.ab2_chi)
@@ -438,7 +540,8 @@ class HydrostaticFreeSurfaceModel:
         G_prev = state["G_prev"]
 
         if self._explicit_fs:
-            U, V = barotropic_mode(grid, state["solution"]["u"], state["solution"]["v"])
+            U, V = barotropic_mode(grid, state["solution"]["u"],
+                                   state["solution"]["v"], perm=self._perm)
             G["eta"] = -div_xy_2d(grid, U, V)
             sol_all = dict(state["solution"], eta=state["eta"])
             stepped = ab2_substep(sol_all, G, G_prev, dt, self.ab2_chi, euler)
@@ -450,20 +553,24 @@ class HydrostaticFreeSurfaceModel:
 
         elif isinstance(fs, SplitExplicitFreeSurface):
             # barotropic mode of uⁿ (before the baroclinic step)
-            U0, V0 = barotropic_mode(grid, state["solution"]["u"], state["solution"]["v"])
+            U0, V0 = barotropic_mode(grid, state["solution"]["u"],
+                                     state["solution"]["v"], perm=self._perm)
             # combined AB2 tendencies for the barotropic forcing
             c1, c2 = 1.5 + chi, 0.5 + chi
             GU, _ = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
-                                    c1 * G["v"] - c2 * G_prev["v"])
+                                    c1 * G["v"] - c2 * G_prev["v"],
+                                    perm=self._perm)
             _, GV = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
-                                    c1 * G["v"] - c2 * G_prev["v"])
+                                    c1 * G["v"] - c2 * G_prev["v"],
+                                    perm=self._perm)
             stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
                                        dt, state.get("diffusivities"),
                                        self.bcs, clock0.time)
             eta, U_av, V_av = fs.substep_eta(grid, self.eta_bcs, state["eta"],
                                              GU, GV, U0, V0, dt)
-            u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av)
+            u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av,
+                                perm=self._perm)
             sol = dict(sol, u=u, v=v)
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
@@ -473,13 +580,16 @@ class HydrostaticFreeSurfaceModel:
                                        dt, state.get("diffusivities"),
                                        self.bcs, clock0.time)
             sol = self.fill_all_halos(sol, clock0.time)
-            Qu, Qv = barotropic_mode(grid, sol["u"], sol["v"])
+            Qu, Qv = barotropic_mode(grid, sol["u"], sol["v"], perm=self._perm)
             g_const = fs.gravitational_acceleration
             rhs = (div_xy_2d(grid, Qu, Qv) - state["eta"] / dt) / (g_const * dt)
             eta = fs.solve(grid, self.eta_bcs, rhs, state["eta"], dt)
-            u = sol["u"] - g_const * dt * grad_x(grid, eta)
-            v = sol["v"] - g_const * dt * grad_y(grid, eta)
-            sol = dict(sol, u=u, v=v)
+            gx = g_const * dt * grad_x(grid, eta)
+            gy = g_const * dt * grad_y(grid, eta)
+            if self._perm is not None:
+                gx = jnp.transpose(gx, self._perm)
+                gy = jnp.transpose(gy, self._perm)
+            sol = dict(sol, u=sol["u"] - gx, v=sol["v"] - gy)
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
         clock = clock0.tick(dt)
@@ -509,6 +619,10 @@ class HydrostaticFreeSurfaceModel:
     def cell_advection_timescale(self, state):
         sol = state["solution"]
         grid = self.grid
+        if self._perm is not None:   # diagnostics run in natural layout
+            from ..ops.permuted import unpermute
+            sol = {k: unpermute(v, self._perm) for k, v in sol.items()}
+            state = dict(state, w=unpermute(state["w"], self._perm))
         scales = []
         vels = (("u", U_LOC, 0), ("v", V_LOC, 1))
         for name, loc, axis in vels:
@@ -528,8 +642,14 @@ class HydrostaticFreeSurfaceModel:
 
     def fields(self, state):
         locs = self._locs()
-        out = {name: Field(arr, locs[name], self.bcs[name])
+        perm = self._perm
+        if perm is not None:
+            from ..ops.permuted import unpermute
+            up = lambda a: unpermute(a, perm)
+        else:
+            up = lambda a: a
+        out = {name: Field(up(arr), locs[name], self.bcs[name])
                for name, arr in state["solution"].items()}
-        out["w"] = Field(state["w"], W_LOC, self.w_bcs)
+        out["w"] = Field(up(state["w"]), W_LOC, self.w_bcs)
         out["eta"] = Field(state["eta"], ETA_LOC, self.eta_bcs)
         return out

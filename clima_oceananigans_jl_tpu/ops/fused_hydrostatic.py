@@ -213,6 +213,46 @@ def _tile_sizes_zxy(nx, ny, hx, hy, zt, itemsize=4, budget_bytes=3_000_000):
     return best[1], best[2]
 
 
+def preferred_hydro_layout(model):
+    """The block layout the fused kernel would pick for this model (the
+    heuristic of ``fused_hydrostatic_tendencies``, exposed so the model
+    can decide its STORAGE layout to match — storing state (x, z, y)
+    when the kernel runs "zy" kills both the per-step transposes around
+    the kernel and the 128-lane padding tax on every XLA pass)."""
+    from ..advection.schemes import WENO5
+    parent = getattr(model.grid, "parent", model.grid)
+    nz = parent.Nz
+    zt = nz + 2 * parent.Hz
+    ny = parent.Ny
+    flux_form, ts_k = _kernel_schemes(model)
+    any_weno = any(isinstance(s, WENO5) for s in (flux_form, ts_k)
+                   if s is not None)
+    need_yt = any_weno and not parent._axes[1].regular
+    forced = os.environ.get("CLIMA_HYDRO_LAYOUT")
+    lane_pad = (-(-zt // 128) * 128) / zt
+    if forced:
+        return forced
+    if lane_pad >= 1.25 and ny >= 64 and not need_yt:
+        return "zy"
+    return "yz"
+
+
+def zy_tiling_ok(model):
+    """True when a legal "zy" tiling exists under the same VMEM budget
+    ``fused_hydrostatic_tendencies`` will use — precondition for the
+    model's (x, z, y) state layout."""
+    import numpy as np
+    parent = getattr(model.grid, "parent", model.grid)
+    nfields = (3 + len(model.tracer_names) + int(model.buoyancy is not None)
+               + len(_mask_locs(model)))
+    budget = int(12_000_000 / max(4, nfields))
+    return _tile_sizes_zy(
+        parent.Nx, parent.Ny, parent.Hx, parent.Hy,
+        parent.Nz + 2 * parent.Hz,
+        itemsize=np.dtype(parent.dtype).itemsize,
+        budget_bytes=budget) is not None
+
+
 def fused_hydrostatic_tendencies(model, state, interpret=None):
     """One fused pass: −U·∇(u,v) − f×U − ∇pHY′ and −∇·(U c) per tracer.
     Returns a dict of with-halo tendency arrays (x/y halo regions zero,
@@ -267,14 +307,12 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     # VMEM-budget-limited tx=8 wastes more VPU than the transposes cost
     # (zy's leading x dim is untiled and unpadded). Both are maintained;
     # CLIMA_HYDRO_LAYOUT=yz|zy|zxy (env) forces one.
-    forced = os.environ.get("CLIMA_HYDRO_LAYOUT")
-    lane_pad = (-(-zt // 128) * 128) / zt
-    if forced:
-        layout = forced
-    elif lane_pad >= 1.25 and ny >= 64 and not need_yt:
-        layout = "zy"
-    else:
-        layout = "yz"
+    #
+    # With the model's (x, z, y) STATE layout (state_layout == "xzy",
+    # models/hydrostatic.py) the inputs arrive already transposed and the
+    # outputs stay transposed — the "zy" kernel with zero layout traffic.
+    pre_permuted = getattr(model, "state_layout", None) == "xzy"
+    layout = "zy" if pre_permuted else preferred_hydro_layout(model)
 
     def _build_pack(lay):
         return build_metric_pack(
@@ -310,6 +348,8 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         sizes = fn(nx, ny, hx, hy, zt, itemsize=dtype.itemsize,
                    budget_bytes=budget)
         if sizes is None:  # no legal transposed tiling — fall back
+            assert not pre_permuted, \
+                "state_layout='xzy' requires a legal zy tiling (zy_tiling_ok)"
             layout = "yz"
             pack = _build_pack(layout)
     if layout != "yz":
@@ -323,7 +363,7 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     if has_ph:
         field_inputs.append(state["pHY"])
     field_inputs += mask_arrays
-    if layout == "zy":
+    if layout == "zy" and not pre_permuted:
         field_inputs = [a.transpose(0, 2, 1) for a in field_inputs]
     elif layout == "zxy":
         field_inputs = [a.transpose(2, 0, 1) for a in field_inputs]
@@ -433,6 +473,13 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*inputs)
 
+    if pre_permuted:
+        # outputs stay in the (x, z, y) state layout
+        pad = ((hx, hx), (0, 0), (hy, hy))
+        G = {"u": jnp.pad(outs[0], pad), "v": jnp.pad(outs[1], pad)}
+        for i, n in enumerate(names):
+            G[n] = jnp.pad(outs[2 + i], pad)
+        return G
     if layout == "zy":
         outs = [o.transpose(0, 2, 1) for o in outs]
     elif layout == "zxy":
