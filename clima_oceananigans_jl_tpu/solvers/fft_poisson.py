@@ -81,6 +81,18 @@ def _rdft_wavenumbers(N):
     return jnp.asarray(kk)
 
 
+#: MXU pass count for the fp32 transform matmuls. HIGHEST (bf16_6x,
+#: beyond-fp32 accuracy) is the default; CLIMA_FFT_PRECISION=high picks
+#: bf16_3x (~fp32-comparable, ~2× the MXU rate) — measured on v5e the
+#: 256³ projection residual grows from ~1e-6 to ~4e-6 of the velocity
+#: scale, and the solver-level Poisson residual test still passes.
+import os as _os
+_PRECISION = {"high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}.get(
+    _os.environ.get("CLIMA_FFT_PRECISION", "highest"),
+    jax.lax.Precision.HIGHEST)
+
+
 def _matmul_along(b, M, axis):
     """Apply M (K×N) along `axis` of b: out[...,k,...] = Σ_n M[k,n] b[n].
     One MXU contraction — on TPU this beats the FFT lowering by ~an
@@ -90,7 +102,7 @@ def _matmul_along(b, M, axis):
     extra passes are free."""
     out = jnp.tensordot(b, M, axes=[[axis], [1]],
                         preferred_element_type=b.dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_PRECISION)
     return jnp.moveaxis(out, -1, axis)
 
 
