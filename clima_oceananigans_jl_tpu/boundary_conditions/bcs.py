@@ -302,7 +302,11 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
         data = data.at[S(slice(0, H))].set(data[S(slice(N, N + H))])
         return data.at[S(slice(N + H, N + 2 * H))].set(data[S(slice(H, 2 * H))])
     if topo is FULLY_CONNECTED:
-        assert perm is None, "distributed fills run in the natural layout"
+        if perm is not None:  # not assert: must survive python -O
+            raise NotImplementedError(
+                "distributed fills run in the natural layout — a permuted "
+                "(x, z, y) state would ppermute along the wrong physical "
+                "axis (DistributedModel clears state_layout for this)")
         dist = getattr(grid, "dist", (None, None, None))[axis]
         if dist is None:
             return data  # filled by an external (multi-region) exchange

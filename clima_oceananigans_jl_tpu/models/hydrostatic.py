@@ -263,9 +263,10 @@ class HydrostaticFreeSurfaceModel:
             sl = [slice(None)] * 3
             sl[zax] = slice(Hz, Hz + Nz)
             cum = jnp.cumsum(incr[tuple(sl)], axis=zax)
-            shape = [g.total_shape[a] for a in (0, 1, 2)]
-            w = jnp.zeros(tuple(shape[a] for a in
-                                (0, 2, 1)), g.dtype)  # (x, z, y)
+            # physical shape derived from perm (physical axis p holds
+            # logical axis perm.index(p)); for XZY this is (x, z, y)
+            w = jnp.zeros(tuple(g.total_shape[perm.index(p)]
+                                for p in range(3)), g.dtype)
             wsl = [slice(None)] * 3
             wsl[zax] = slice(Hz + 1, Hz + Nz + 1)
             w = w.at[tuple(wsl)].set(-cum)

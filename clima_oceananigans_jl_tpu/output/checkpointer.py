@@ -74,7 +74,12 @@ class Checkpointer:
     def write(self, sim):
         it = sim.model_iteration()
         path = self.checkpoint_path(it)
-        np.savez(path, **_flatten_state(sim.state))
+        flat = _flatten_state(sim.state)
+        # record the state layout explicitly so a cross-layout restore
+        # is unambiguous even when Yt == Zt (shape-sniffing can't tell)
+        layout = getattr(getattr(sim, "model", None), "state_layout", None)
+        flat["__state_layout"] = np.asarray(layout or "natural")
+        np.savez(path, **flat)
         if self.keep:
             existing = sorted(self._all(), key=self._iter_of)
             for old in existing[:-self.keep]:
@@ -93,11 +98,33 @@ class Checkpointer:
         return max(paths, key=self._iter_of) if paths else None
 
 
-def restore_state(template_state, path):
-    """Load a checkpoint into the structure of `template_state`."""
+def restore_state(template_state, path, model=None):
+    """Load a checkpoint into the structure of `template_state`. When
+    `model` is given and the file records a ``__state_layout`` different
+    from the model's, the 3D solution arrays are permuted into the
+    model's layout (exact, unlike the shape-sniffing fallback in
+    ``HydrostaticModel._coerce_layout`` which is ambiguous for
+    Yt == Zt grids)."""
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
-    return _unflatten_state(template_state, flat)
+    saved_layout = str(flat.pop("__state_layout", "natural"))
+    state = _unflatten_state(template_state, flat)
+    if model is not None:
+        want = getattr(model, "state_layout", None) or "natural"
+        if want != saved_layout:
+            from ..ops.permuted import permute, unpermute
+            conv = permute if want == "xzy" else unpermute
+
+            def c(a):
+                return conv(a) if getattr(a, "ndim", 0) == 3 else a
+            state = dict(state)
+            for k in ("solution", "G_prev"):
+                if k in state and isinstance(state[k], dict):
+                    state[k] = {n: c(v) for n, v in state[k].items()}
+            for k in ("w", "pHY"):
+                if k in state:
+                    state[k] = c(state[k])
+    return state
 
 
 def pickup_latest(sim, pickup=True):
@@ -115,5 +142,5 @@ def pickup_latest(sim, pickup=True):
         path = pickup
     if path is None or not os.path.exists(path):
         return False
-    sim.state = restore_state(sim.state, path)
+    sim.state = restore_state(sim.state, path, model=getattr(sim, "model", None))
     return True
