@@ -23,6 +23,7 @@ TPU re-design of /root/reference/src/BoundaryConditions/:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -384,9 +385,22 @@ def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2), perm=None):
         bcs = default_bcs(grid, loc)
     order = sorted((a for a in axes), key=lambda a: grid.topology[a] is not PERIODIC)
     pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north), (bcs.bottom, bcs.top))
+    # periodic axes of 3D fields ride the in-place Pallas strip kernels
+    # on TPU (ops/fused_fill.py): the XLA slab path is correct but each
+    # dynamic-update-slice whose update reads the SAME buffer forces a
+    # defensive whole-array copy (~0.5 GB instead of ~4 MB per 256³ x+y
+    # fill). Eligibility is static (topology/alignment/ndim); values are
+    # bit-identical by construction (same wrap indices, same order).
+    from ..ops import fused_fill as _ff
+    use_fast = (getattr(data, "ndim", 0) == 3 and _ff._use_inplace()
+                and not os.environ.get("CLIMA_NO_INPLACE_FILL"))
     for axis in order:
-        data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t,
-                               perm=perm)
+        if (use_fast and grid.topology[axis] is PERIODIC
+                and _ff.supports_inplace_fill(grid, axis, perm)):
+            data = _ff.fill_periodic_axis_inplace(data, grid, axis, perm=perm)
+        else:
+            data = fill_halos_axis(data, grid, loc, axis, *pairs[axis], t=t,
+                                   perm=perm)
     return data
 
 

@@ -127,10 +127,14 @@ class HydrostaticFreeSurfaceModel:
             wb.top = FluxBC()
         self.w_bcs = wb
         self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
-        from ..ops.fused_hydrostatic import supports_fused_hydrostatic
+        from ..ops.fused_hydrostatic import (supports_fused_hydrostatic,
+                                             supports_inkernel_wphy)
         self.fused_advection = bool(want_fused
                                     and supports_fused_hydrostatic(self))
         self.state_layout = self._pick_state_layout()
+        # w-from-continuity and pHY′ rebuilt inside the fused kernel:
+        # the state carries NEITHER (diagnostics recompute on demand)
+        self.wphy_in_kernel = supports_inkernel_wphy(self)
 
     def _pick_state_layout(self):
         """(x, z, y) state storage for shallow-z grids: the natural
@@ -178,7 +182,7 @@ class HydrostaticFreeSurfaceModel:
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
                   tuple(self.forcing[k] for k in fk), self.fused_advection,
-                  self.state_layout)
+                  self.state_layout, self.wphy_in_kernel)
         return leaves, static
 
     @classmethod
@@ -188,7 +192,8 @@ class HydrostaticFreeSurfaceModel:
          obj.bcs, obj.eta_bcs, obj.w_bcs, obj.pressure_bcs,
          obj.particles, obj.immersed_boundary) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
-         obj.ab2_chi, fk, fv, obj.fused_advection, obj.state_layout) = static
+         obj.ab2_chi, fk, fv, obj.fused_advection, obj.state_layout,
+         obj.wphy_in_kernel) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -317,6 +322,11 @@ class HydrostaticFreeSurfaceModel:
         if self.immersed_boundary is not None:
             state = self.immersed_boundary.mask_state(self, state)
             sol = state["solution"]
+        if self.wphy_in_kernel:
+            # w and pHY′ are rebuilt inside the fused tendency kernel
+            # from this (filled, masked) solution every step — the state
+            # carries neither, and diagnostics recompute on demand
+            return state
         state = dict(state, w=self.compute_w(sol))
         tr = {n: sol[n] for n in self.tracer_names}
         diff = compute_closure_diffusivities(
@@ -428,7 +438,9 @@ class HydrostaticFreeSurfaceModel:
         grid = self.grid
         sol = state["solution"]
         u, v = sol["u"], sol["v"]
-        w = state["w"]
+        w = state.get("w")
+        if w is None and not self.wphy_in_kernel:
+            w = self.compute_w(sol)
         clock = state["clock"]
         fs = self.free_surface
         tr = {n: sol[n] for n in self.tracer_names}
@@ -620,6 +632,8 @@ class HydrostaticFreeSurfaceModel:
     def cell_advection_timescale(self, state):
         sol = state["solution"]
         grid = self.grid
+        if state.get("w") is None:   # wphy_in_kernel: rebuild on demand
+            state = dict(state, w=self.compute_w(sol))
         if self._perm is not None:   # diagnostics run in natural layout
             from ..ops.permuted import unpermute
             sol = {k: unpermute(v, self._perm) for k, v in sol.items()}
@@ -651,6 +665,9 @@ class HydrostaticFreeSurfaceModel:
             up = lambda a: a
         out = {name: Field(up(arr), locs[name], self.bcs[name])
                for name, arr in state["solution"].items()}
-        out["w"] = Field(up(state["w"]), W_LOC, self.w_bcs)
+        w = state.get("w")
+        if w is None:   # wphy_in_kernel: rebuild on demand
+            w = self.compute_w(state["solution"])
+        out["w"] = Field(up(w), W_LOC, self.w_bcs)
         out["eta"] = Field(state["eta"], ETA_LOC, self.eta_bcs)
         return out

@@ -91,20 +91,41 @@ def supports_inplace_fill(grid, axis, perm=None):
 def _tile_dim(shape, p, window, itemsize, budget=1_200_000):
     # budget is per-WINDOW: Mosaic stacks ~2 input windows + 1 output,
     # double-buffered across grid steps, plus concat temps (~8× total)
-    """Pick a tiling dim (≠ p, prefer the leading one) and tile size so a
-    (window × other dims) block fits the VMEM budget."""
-    other = [d for d in range(len(shape)) if d != p]
+    """Pick a tiling dim (≠ p) and tile size so a (window × other dims)
+    block fits the VMEM budget. Mosaic constrains Element-window offsets
+    by physical dim: leading (untiled) dims take any offset, the sublane
+    dim needs 8-aligned tiles, the lane dim 128 — leading dims are
+    preferred and lane tiling is never attempted (ADVICE r4). When no
+    aligned tiling fits the budget, returns (None, None): one big window
+    under the 64 MB compiler limit beats an illegal offset."""
+    ndim = len(shape)
+    other = [d for d in range(ndim) if d != p]
     block = window * itemsize
     for d in other:
         block *= shape[d]
     if block <= budget:
         return None, None
-    d = other[0]  # leading-most non-fill dim: untiled, any divisor legal
+
+    def align_of(d):
+        if d == ndim - 1:
+            return 128
+        if d == ndim - 2:
+            return 8
+        return 1
+
     need = -(-block // budget)
-    for t in range(int(shape[d] // need), 0, -1):
-        if shape[d] % t == 0 and block // shape[d] * t <= budget:
-            return d, t
-    return d, 1
+    for d in sorted(other, key=align_of):
+        al = align_of(d)
+        if al == 128:
+            continue  # lane tiling: 128-granule fills are never worth it
+        for t in range(int(shape[d] // need), 0, -1):
+            if shape[d] % t:
+                continue
+            if t % al and t != shape[d]:
+                continue  # unaligned window offsets: Mosaic rejects
+            if block // shape[d] * t <= budget:
+                return d, t
+    return None, None
 
 
 def fill_periodic_axis_inplace(data, grid, axis, perm=None, interpret=None):

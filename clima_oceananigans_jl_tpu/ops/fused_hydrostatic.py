@@ -132,6 +132,182 @@ def supports_fused_hydrostatic(model):
     return True
 
 
+def _block_perm(layout):
+    """Physical block-axis permutation of a kernel layout (logical axis a
+    lives at block axis perm[a]); None for the natural (x, y, z) blocks."""
+    return {"zy": (0, 2, 1), "zxy": (1, 2, 0), "yz": None}[layout]
+
+
+def _mirrorlike_bcs(bcs):
+    """True when every x/y side of ``bcs`` fills by a pure wrap or
+    zero-gradient mirror (kind None/periodic/communication/flux) — the
+    condition under which a pointwise-per-column function F commutes with
+    the halo fill, F(fill(b)) == fill(F(b)), which is what makes the
+    in-kernel pHY′ bit-identical to the XLA fill-then-read path."""
+    for axis, _side, bc in bcs.sides():
+        if axis == 2:
+            continue
+        if bc is not None and bc.kind not in ("flux", "periodic",
+                                              "communication"):
+            return False
+    return True
+
+
+def supports_inkernel_wphy(model):
+    """Static gate: may the fused hydrostatic kernel rebuild w (from
+    continuity) and pHY′ (buoyancy integral) on its own VMEM blocks, so
+    the model's step never materializes them at the XLA level?
+    (reference computes both as separate GPU kernel launches —
+    compute_w_from_continuity.jl:30-36, update_hydrostatic_pressure.jl —
+    here they collapse into the tendency kernel: the ~2 field-sized
+    streaming passes, their halo fills, and two kernel input windows all
+    vanish.) Exactness requirements, each argued in the helper
+    docstrings below: periodic x (computed-on-wrap == filled-wrap for
+    the w columns the stencils read), scalar-valued w z-BCs (the kernel
+    replays the exact ghost formulas via fill_halos_axis), mirror-like
+    tracer x/y BCs for pHY′, a buoyancy whose perturbation is pointwise
+    in the tracers, and a single y tile when y is bounded (the in-window
+    y mirror fill needs the full row)."""
+    from ..buoyancy.buoyancy import (BuoyancyTracer, LinearEquationOfState,
+                                     SeawaterBuoyancy)
+    from ..grids.topology import BOUNDED, PERIODIC
+    if os.environ.get("CLIMA_NO_INKERNEL_W"):
+        return False
+    if not model.fused_advection or not supports_fused_hydrostatic(model):
+        return False
+    grid = model.grid
+    parent = getattr(grid, "parent", grid)
+    if parent.topology[0] is not PERIODIC:
+        return False
+    if parent.topology[2] is not BOUNDED:
+        return False
+    if (model.closure is not None or model.particles is not None
+            or model.forcing):
+        return False
+    # w z-ghost formulas must be replayable on a block: scalar/None values
+    for side in ("bottom", "top"):
+        bc = getattr(model.w_bcs, side)
+        if bc is not None and bc.value is not None:
+            v = bc.value
+            if callable(v) or getattr(v, "ndim", 0) > 0:
+                return False
+    b = model.buoyancy
+    if b is not None:
+        if tuple(b.gravity_unit_vector) != (0.0, 0.0, -1.0):
+            return False
+        if isinstance(b, SeawaterBuoyancy):
+            if not isinstance(b.equation_of_state, LinearEquationOfState):
+                return False  # nonlinear EOS reads z nodes (not in kg)
+        elif not isinstance(b, BuoyancyTracer):
+            return False
+        for name in model.tracer_names:
+            if not _mirrorlike_bcs(model.bcs[name]):
+                return False
+    # bounded y: the in-window mirror fill of w needs the full y row
+    if parent.topology[1] is BOUNDED:
+        plan = _plan_hydro_tiles(model)
+        if plan is None or plan[1] != parent.Ny:
+            return False
+    return True
+
+
+def _budget_nfields(model):
+    """Per-field VMEM budget divisor — deliberately counts w and pHY′ as
+    if they were still kernel inputs even when rebuilt in-kernel (their
+    VMEM temps are comparable to the windows they replace)."""
+    return (3 + len(model.tracer_names) + int(model.buoyancy is not None)
+            + len(_mask_locs(model)))
+
+
+def _plan_hydro_tiles(model, layout=None):
+    """(tx, ty) the fused hydrostatic kernel will use for this model (the
+    exact budget/layout logic of ``fused_hydrostatic_tendencies``)."""
+    import numpy as np
+    parent = getattr(model.grid, "parent", model.grid)
+    if layout is None:
+        layout = ("zy" if getattr(model, "state_layout", None) == "xzy"
+                  else preferred_hydro_layout(model))
+    budget = int(12_000_000 / max(4, _budget_nfields(model)))
+    args = (parent.Nx, parent.Ny, parent.Hx, parent.Hy,
+            parent.Nz + 2 * parent.Hz)
+    kw = dict(itemsize=np.dtype(parent.dtype).itemsize, budget_bytes=budget)
+    if layout == "zy":
+        return _tile_sizes_zy(*args, **kw)
+    if layout == "zxy":
+        return _tile_sizes_zxy(*args, **kw)
+    return _tile_sizes(*args, **kw)
+
+
+def _w_block(kg, parent, w_bcs, ub, vb, layout):
+    """w-from-continuity on a VMEM block — replays
+    ``HydrostaticModel.compute_w`` + its halo fill exactly (reference
+    compute_w_from_continuity.jl:30-36):
+
+    * interior faces: w(k+1) = −Σ_{k'≤k} Δz ∇ₕ·(u, v) — same cumsum
+      expression tree as the model path;
+    * x halo columns need no fill: they are computed from the wrapped
+      u, v columns the block window carries, so they EQUAL the wrap the
+      XLA fill would write (gate requires periodic x);
+    * bounded-y ghost columns and the z ghosts are rewritten with the
+      very ``fill_halos_axis`` slab formulas the XLA path uses (legal on
+      a block: those fills slice only the filled axis, and the gate
+      guarantees the block spans it fully).
+
+    Computed-vs-filled differs ONLY in y ghost columns of bounded-y
+    grids before the explicit refill — which is why the refill happens —
+    and in columns no tendency term reads (w is consumed at x offsets
+    −1..+1, y offsets −1..+1, z offsets within the column)."""
+    from ..boundary_conditions.bcs import fill_halos_axis
+    from ..grids.topology import FLAT, PERIODIC
+    from . import operators as op
+    perm = _block_perm(layout)
+    Hz, Nz = parent.Hz, parent.Nz
+    zax = 2 if perm is None else perm[2]
+    d = op.div_xy_ccc(ub, vb, kg)
+    incr = jnp.broadcast_to(kg.dz(CENTER), d.shape) * d
+    sl = [slice(None)] * 3
+    sl[zax] = slice(Hz, Hz + Nz)
+    cum = jnp.cumsum(incr[tuple(sl)], axis=zax)
+    w = jnp.zeros_like(d)
+    wsl = [slice(None)] * 3
+    wsl[zax] = slice(Hz + 1, Hz + Nz + 1)
+    w = w.at[tuple(wsl)].set(-cum)
+    if parent.topology[1] not in (PERIODIC, FLAT):
+        w = fill_halos_axis(w, parent, W_LOC, 1, w_bcs.south, w_bcs.north,
+                            perm=perm)
+    return fill_halos_axis(w, parent, W_LOC, 2, w_bcs.bottom, w_bcs.top,
+                           perm=perm)
+
+
+def _ph_block(buoyancy, kg, parent, tracers, layout):
+    """pHY′ on a VMEM block — replays
+    ``buoyancy.hydrostatic_pressure_anomaly``'s permuted branch exactly
+    (reference update_hydrostatic_pressure.jl): reversed cumsum of
+    b̄ᶻ Δzᶠ over the interior faces, zeros in the (never-read) z halos.
+    x/y ghost COLUMNS are simply computed from the tracer blocks' ghost
+    columns: pHY′ is pointwise-per-column in b, so with wrap (x) or
+    zero-gradient-mirror (y) tracer fills — the gate's requirement —
+    F(fill(b)) == fill(F(b)) and the ghosts match the XLA path's
+    pressure-bc fill bit for bit."""
+    from . import stencil as st
+    perm = _block_perm(layout)
+    Hz, Nz = parent.Hz, parent.Nz
+    zax = 2 if perm is None else perm[2]
+    b = buoyancy.buoyancy_perturbation(kg, tracers)
+    gz = buoyancy.gravity_unit_vector[2]
+    if gz != -1.0:
+        b = -gz * b
+    S = st.izf(b) * kg.dz(W_LOC)
+    sl = [slice(None)] * 3
+    sl[zax] = slice(Hz + 1, Hz + Nz + 1)
+    S_int = S[tuple(sl)]
+    ph_int = -jnp.flip(jnp.cumsum(jnp.flip(S_int, zax), zax), zax)
+    ph = jnp.zeros_like(b)
+    osl = [slice(None)] * 3
+    osl[zax] = slice(Hz, Hz + Nz)
+    return ph.at[tuple(osl)].set(ph_int)
+
+
 class _DuckImmersed:
     """In-kernel immersed boundary: solid masks as 0/1 VMEM blocks
     (``transport``'s ``_immersed_clear`` consumes them arithmetically)."""
@@ -277,11 +453,16 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     parent = getattr(grid, "parent", grid)
     imm = getattr(grid, "immersed", None)
     sol = state["solution"]
-    u, v, w = sol["u"], sol["v"], state["w"]
+    # in-kernel w/pHY′ (supports_inkernel_wphy): the kernel rebuilds both
+    # from its own u/v/tracer blocks — no w or pHY input windows, and the
+    # model's step never materializes either at the XLA level
+    in_k = bool(getattr(model, "wphy_in_kernel", False))
+    u, v = sol["u"], sol["v"]
+    w = None if in_k else state["w"]
     names = model.tracer_names
     scheme, ts = model.momentum_advection, model.tracer_advection
     cor = model.coriolis
-    has_ph = model.buoyancy is not None and "pHY" in state
+    has_ph = model.buoyancy is not None and (in_k or "pHY" in state)
 
     nx, ny, nz = parent.shape
     hx, hy, hz = parent.halo
@@ -341,7 +522,9 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
     mask_arrays = [imm.mask_for(l).astype(dtype) for l in mask_locs]
 
     n_tr = len(names)
-    nfields = 3 + n_tr + int(has_ph) + len(mask_locs)
+    # budget divisor counts w/pHY even when rebuilt in-kernel — their
+    # VMEM temps are comparable to the input windows they replace
+    nfields = 3 + n_tr + int(model.buoyancy is not None) + len(mask_locs)
     budget = int(12_000_000 / max(4, nfields))
     if layout != "yz":
         fn = _tile_sizes_zxy if layout == "zxy" else _tile_sizes_zy
@@ -359,8 +542,10 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
                              budget_bytes=budget)
     n_out = 2 + n_tr
 
-    field_inputs = [u, v, w] + [sol[n] for n in names]
-    if has_ph:
+    n_vel = 2 if in_k else 3
+    field_inputs = [u, v] + ([] if in_k else [w]) + [sol[n] for n in names]
+    ph_is_input = has_ph and not in_k
+    if ph_is_input:
         field_inputs.append(state["pHY"])
     field_inputs += mask_arrays
     if layout == "zy" and not pre_permuted:
@@ -375,10 +560,10 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         k += len(cor_smem)
         pack_ref = refs[k] if has_pack else None
         k += int(has_pack)
-        f_refs = refs[k:k + 3 + n_tr]
-        k += 3 + n_tr
-        ph_ref = refs[k] if has_ph else None
-        k += int(has_ph)
+        f_refs = refs[k:k + n_vel + n_tr]
+        k += n_vel + n_tr
+        ph_ref = refs[k] if ph_is_input else None
+        k += int(ph_is_input)
         m_refs = refs[k:k + len(mask_locs)]
         k += len(mask_locs)
         out_refs = refs[k:]
@@ -395,8 +580,9 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         cor_k = jax.tree_util.tree_unflatten(
             cor_treedef, [r[0, 0] for r in cor_refs])
 
-        ub, vb, wb = (r[:] for r in f_refs[:3])
-        tr_blocks = {n: f_refs[3 + i][:] for i, n in enumerate(names)}
+        ub, vb = f_refs[0][:], f_refs[1][:]
+        wb = None if in_k else f_refs[2][:]
+        tr_blocks = {n: f_refs[n_vel + i][:] for i, n in enumerate(names)}
         # input windows always carry x/y halos; outputs are interior tiles
         xsl = slice(hx, hx + tx)
         ysl = slice(hy, hy + ty)
@@ -410,9 +596,15 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
             sl = (xsl, ysl, slice(None))
             perm_ctx = contextlib.nullcontext()
         with perm_ctx, _fast_div():
+            if in_k:
+                wb = _w_block(kg, parent, model.w_bcs, ub, vb, layout)
+                ph_b = (_ph_block(model.buoyancy, kg, parent, tr_blocks,
+                                  layout) if has_ph else None)
+            else:
+                ph_b = ph_ref[:] if has_ph else None
             G = hydrostatic_advective_core(
                 kg, scheme, ts, cor_k, names, ub, vb, wb, tr_blocks,
-                pHY=ph_ref[:] if has_ph else None)
+                pHY=ph_b)
         for i, n in enumerate(("u", "v") + tuple(names)):
             out_refs[i][:] = G[n][sl]
 

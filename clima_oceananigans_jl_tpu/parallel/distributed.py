@@ -53,14 +53,18 @@ class DistributedModel:
     def __init__(self, model, mesh, overlap_halo=False):
         self.mesh = mesh
         self.mesh_shape = (mesh.shape["x"], mesh.shape["y"])
-        if getattr(model, "state_layout", None) is not None:
+        if (getattr(model, "state_layout", None) is not None
+                or getattr(model, "wphy_in_kernel", False)):
             # The permuted (x, z, y) state layout is single-device only:
             # scatter_state shards array axis 1 with P('x', 'y') and the
             # halo exchange ppermutes assume the natural orientation. Run
             # the distributed step in the natural layout (the fused
             # kernel still engages, paying its local transposes).
+            # wphy_in_kernel is likewise cleared: the distributed step's
+            # overlap/tendency paths consume state["w"]/state["pHY"].
             model = copy.copy(model)
             model.state_layout = None
+            model.wphy_in_kernel = False
         self.global_model = model
         self.grid = model.grid  # the global grid (for the user-facing API)
         (self.stacked_grid, self.grid_specs,

@@ -85,3 +85,36 @@ def test_vmem_tiling_path():
         fused_fill._tile_dim = orig
     ref = fill_halos(data, grid, CENTER, None, axes=(0, 1))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_production_fill_halos_routes_inplace(monkeypatch):
+    """ADVICE r4: `fill_halos` itself (the production entry every model
+    uses) routes eligible periodic axes through the in-place kernels —
+    verified bit-identical against the pure XLA path here."""
+    grid = RectilinearGrid(size=(16, 24, 8), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           halo=(4, 4, 3), dtype=jnp.float64)
+    data = _rand(grid.total_shape)
+    bcs = default_bcs(grid, CENTER)
+    monkeypatch.setenv("CLIMA_NO_INPLACE_FILL", "1")
+    ref = fill_halos(data, grid, CENTER, bcs, axes=(0, 1, 2))
+    monkeypatch.delenv("CLIMA_NO_INPLACE_FILL")
+    got = fill_halos(data, grid, CENTER, bcs, axes=(0, 1, 2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tile_dim_alignment():
+    """ADVICE r4: _tile_dim must never emit unaligned sublane offsets or
+    lane tiling; over-budget single windows are the legal fallback."""
+    # p=0 fill of a big (X, Y, Z) block: tiling dim 1 is the SUBLANE dim
+    # → tile must be a multiple of 8 (or the full dim)
+    d, t = fused_fill._tile_dim((512, 264, 256), 0, 8, 4)
+    if d is not None:
+        assert d == 1 and (t % 8 == 0 or t == 264), (d, t)
+    # Y=262 has no 8-divisible divisor: must fall back to one window,
+    # never an unaligned sublane tile
+    d, t = fused_fill._tile_dim((512, 262, 256), 0, 8, 4)
+    assert d is None and t is None
+    # p=1 fill: dim 0 is leading (free) — any divisor legal
+    d, t = fused_fill._tile_dim((512, 264, 256), 1, 8, 4)
+    assert d in (None, 0)

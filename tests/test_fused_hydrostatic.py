@@ -46,12 +46,26 @@ def _compare(model, n_steps=0, atol=1e-17):
         state = model.step(state, 60.0)
     sol = state["solution"]
     tr = {n: sol[n] for n in model.tracer_names}
+    # under wphy_in_kernel the state carries neither w nor pHY — rebuild
+    # both at the XLA level for the jnp reference, so the comparison also
+    # pins the kernel's in-window w/pHY against the original path
+    w = state.get("w")
+    if w is None:
+        w = model.compute_w(sol)
     ph = state.get("pHY") if model.buoyancy is not None else None
+    if model.buoyancy is not None and ph is None:
+        from clima_oceananigans_jl_tpu.boundary_conditions.bcs import fill_halos
+        from clima_oceananigans_jl_tpu.buoyancy.buoyancy import (
+            hydrostatic_pressure_anomaly)
+        from clima_oceananigans_jl_tpu.utils.location import CENTER
+        ph = hydrostatic_pressure_anomaly(model.buoyancy, g, tr,
+                                          perm=model._perm)
+        ph = fill_halos(ph, g, CENTER, model.pressure_bcs, perm=model._perm)
     Gf = fused_hydrostatic_tendencies(model, state, interpret=True)
     Gj = hydrostatic_advective_core(g, model.momentum_advection,
                                     model.tracer_advection, model.coriolis,
                                     model.tracer_names, sol["u"], sol["v"],
-                                    state["w"], tr, pHY=ph)
+                                    w, tr, pHY=ph)
     for n in Gf:
         a = np.asarray(g.interior(Gf[n]))
         b = np.asarray(g.interior(Gj[n]))
@@ -167,3 +181,61 @@ def test_fused_gate_rejects_unsupported():
         _latlon(), immersed_boundary=PartialCellBottom(lambda l, p: -500.0),
         fused_advection=True)
     assert not m2.fused_advection
+
+
+def test_inkernel_wphy_step_equivalence(monkeypatch):
+    """supports_inkernel_wphy: the fused kernel rebuilds w-from-continuity
+    and pHY′ on its own VMEM blocks; the state carries neither. Full-step
+    equivalence vs the materialized-w/pHY path (CLIMA_NO_INKERNEL_W)."""
+    import os
+
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        SplitExplicitFreeSurface)
+
+    zf = [-1000.0 * (1 - (k / 8.0) ** 1.7) for k in range(9)]
+
+    def build():
+        return HydrostaticFreeSurfaceModel(
+            _latlon(nz=8, z=zf),
+            momentum_advection=VectorInvariant(scheme="weno_velocity"),
+            tracer_advection=WENO5(), tracers=("T",),
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            coriolis=HydrostaticSphericalCoriolis(),
+            buoyancy=BuoyancyTracer(), fused_advection=True)
+
+    m1 = build()
+    assert m1.wphy_in_kernel, "gate should engage for the flagship config"
+    monkeypatch.setenv("CLIMA_NO_INKERNEL_W", "1")
+    m0 = build()
+    monkeypatch.delenv("CLIMA_NO_INKERNEL_W")
+    assert not m0.wphy_in_kernel
+
+    def init(mm):
+        return mm.initial_state(
+            u=lambda lam, phi, z: 0.05 * jnp.cos(jnp.deg2rad(phi)),
+            v=lambda lam, phi, z: 0.01 * jnp.sin(jnp.deg2rad(2 * lam)),
+            b=lambda lam, phi, z: 1e-5 * z,
+            T=lambda lam, phi, z: 10.0 + 1e-3 * z)
+
+    s1, s0 = init(m1), init(m0)
+    assert "w" not in s1 and "pHY" not in s1  # state stays lean
+    assert "w" in s0 and "pHY" in s0
+    dt = jnp.float64(200.0)
+    st1, st0 = jax.jit(m1.step), jax.jit(m0.step)
+    for _ in range(3):
+        s1 = st1(s1, dt)
+        s0 = st0(s0, dt)
+    g = m1.grid
+    f1, f0 = m1.fields(s1), m0.fields(s0)
+    for n in ("u", "v", "T", "b"):
+        a = np.asarray(g.interior(f1[n].data))
+        b = np.asarray(g.interior(f0[n].data))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-15, err_msg=n)
+    # the on-demand w (fields/diagnostics) matches the carried one to
+    # reassociation-level precision (in-jit vs out-of-jit rounding)
+    a = np.asarray(g.interior(f1["w"].data))
+    b = np.asarray(g.interior(f0["w"].data))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-18)
+    ts1 = float(m1.cell_advection_timescale(s1))
+    ts0 = float(m0.cell_advection_timescale(s0))
+    np.testing.assert_allclose(ts1, ts0, rtol=1e-12)
