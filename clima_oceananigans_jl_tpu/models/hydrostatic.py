@@ -127,7 +127,8 @@ class HydrostaticFreeSurfaceModel:
             wb.top = FluxBC()
         self.w_bcs = wb
         self.pressure_bcs = regularize_bcs(self.grid, CENTER, None)
-        from ..ops.fused_hydrostatic import (supports_fused_hydrostatic,
+        from ..ops.fused_hydrostatic import (supports_fused_hydro_advance,
+                                             supports_fused_hydrostatic,
                                              supports_inkernel_wphy)
         self.fused_advection = bool(want_fused
                                     and supports_fused_hydrostatic(self))
@@ -135,6 +136,10 @@ class HydrostaticFreeSurfaceModel:
         # w-from-continuity and pHY′ rebuilt inside the fused kernel:
         # the state carries NEITHER (diagnostics recompute on demand)
         self.wphy_in_kernel = supports_inkernel_wphy(self)
+        # fused ADVANCE: tendencies + the AB2 substep in ONE Pallas pass;
+        # G_prev is stored x/y-INTERIOR in the kernel layout (the substep
+        # never rereads ψ/G/G⁻ from HBM and G is never padded)
+        self.fused_advance = supports_fused_hydro_advance(self)
 
     def _pick_state_layout(self):
         """(x, z, y) state storage for shallow-z grids: the natural
@@ -182,7 +187,7 @@ class HydrostaticFreeSurfaceModel:
         static = (self.momentum_advection, self.tracer_advection,
                   self.tracer_names, self.ab2_chi, fk,
                   tuple(self.forcing[k] for k in fk), self.fused_advection,
-                  self.state_layout, self.wphy_in_kernel)
+                  self.state_layout, self.wphy_in_kernel, self.fused_advance)
         return leaves, static
 
     @classmethod
@@ -193,7 +198,7 @@ class HydrostaticFreeSurfaceModel:
          obj.particles, obj.immersed_boundary) = leaves
         (obj.momentum_advection, obj.tracer_advection, obj.tracer_names,
          obj.ab2_chi, fk, fv, obj.fused_advection, obj.state_layout,
-         obj.wphy_in_kernel) = static
+         obj.wphy_in_kernel, obj.fused_advance) = static
         obj.forcing = dict(zip(fk, fv))
         return obj
 
@@ -210,6 +215,49 @@ class HydrostaticFreeSurfaceModel:
     @property
     def _explicit_fs(self):
         return isinstance(self.free_surface, ExplicitFreeSurface)
+
+    # -- fused-advance interior G_prev helpers ---------------------------------
+    def _int_cut(self):
+        """x/y-interior slicer in the state layout (z keeps its halos —
+        G z-halo garbage is refilled with ψ′'s halos every step)."""
+        g = self.grid
+        xs = slice(g.Hx, g.Hx + g.Nx)
+        ys = slice(g.Hy, g.Hy + g.Ny)
+        return (xs, slice(None), ys) if self._perm is not None \
+            else (xs, ys, slice(None))
+
+    def _int_pad(self):
+        g = self.grid
+        return (((g.Hx, g.Hx), (0, 0), (g.Hy, g.Hy))
+                if self._perm is not None
+                else ((g.Hx, g.Hx), (g.Hy, g.Hy), (0, 0)))
+
+    def _coerce_gprev(self, state):
+        """Cross-gate checkpoints: slice a halo-shaped G_prev to interior
+        when this model runs the fused advance, pad an interior one with
+        zero halos when it doesn't (both exact — G x/y halos are never
+        read, and ψ′ halos are refilled before any read)."""
+        gp = state.get("G_prev")
+        if not isinstance(gp, dict):
+            return state
+        g = self.grid
+        zt = g.total_shape[2]
+        full = ((g.total_shape[0], zt, g.total_shape[1])
+                if self._perm is not None else g.total_shape)
+        inter = ((g.Nx, zt, g.Ny) if self._perm is not None
+                 else (g.Nx, g.Ny, zt))
+        if full == inter:
+            return state
+
+        def c(a):
+            if getattr(a, "ndim", 0) != 3:
+                return a
+            if self.fused_advance and tuple(a.shape) == full:
+                return a[self._int_cut()]
+            if not self.fused_advance and tuple(a.shape) == inter:
+                return jnp.pad(a, self._int_pad())
+            return a
+        return dict(state, G_prev={n: c(v) for n, v in gp.items()})
 
     def initial_state(self, clock=None, eta=0.0, **values):
         from ..fields.field import new_field, set_field
@@ -232,6 +280,9 @@ class HydrostaticFreeSurfaceModel:
             from ..ops.permuted import permute
             sol = {k: permute(v, self._perm) for k, v in sol.items()}
         zeros = {k: jnp.zeros_like(v) for k, v in sol.items()}
+        if self.fused_advance:
+            cut = self._int_cut()
+            zeros = {k: v[cut] for k, v in zeros.items()}
         if self._explicit_fs:
             zeros["eta"] = jnp.zeros_like(eta_arr)
         state = dict(solution=sol, eta=eta_arr, clock=clock, G_prev=zeros,
@@ -542,12 +593,24 @@ class HydrostaticFreeSurfaceModel:
         grid = self.grid
         fs = self.free_surface
         state = self._coerce_layout(state)
+        state = self._coerce_gprev(state)
         clock0 = state["clock"]
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
         chi = jnp.where(euler, -0.5, self.ab2_chi)
 
+        fadv = self.fused_advance and not getattr(self, "halo_overlap", False)
         if getattr(self, "halo_overlap", False):
             G, state = self.tendencies_overlapped(state)
+        elif fadv:
+            # ONE Pallas pass computes G AND the AB2 substep (ψ′, G as
+            # x/y-interior arrays in the state layout); ψ′ is padded back
+            # to halo shape (the zero halos are refilled by update_state
+            # before any read), G stays interior as next step's G_prev
+            from ..ops.fused_hydrostatic import fused_hydrostatic_tendencies
+            stepped_f, G = fused_hydrostatic_tendencies(
+                self, state, advance=(dt, euler))
+            stepped_f = {n: jnp.pad(a, self._int_pad())
+                         for n, a in stepped_f.items()}
         else:
             G = self.tendencies(state)
         G_prev = state["G_prev"]
@@ -576,7 +639,16 @@ class HydrostaticFreeSurfaceModel:
             _, GV = barotropic_mode(grid, c1 * G["u"] - c2 * G_prev["u"],
                                     c1 * G["v"] - c2 * G_prev["v"],
                                     perm=self._perm)
-            stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
+            if fadv:
+                # interior G/G⁻ → interior (GU, GV), zero-padded to the
+                # (X, Y, 1) halo shape (substep_eta refills U/V halos
+                # every substep, so zero GU/GV halos are exact)
+                pad2 = ((grid.Hx, grid.Hx), (grid.Hy, grid.Hy), (0, 0))
+                GU, GV = jnp.pad(GU, pad2), jnp.pad(GV, pad2)
+                stepped = stepped_f
+            else:
+                stepped = ab2_substep(state["solution"], G, G_prev, dt,
+                                      self.ab2_chi, euler)
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
                                        dt, state.get("diffusivities"),
                                        self.bcs, clock0.time)
@@ -588,7 +660,9 @@ class HydrostaticFreeSurfaceModel:
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
         else:  # ImplicitFreeSurface
-            stepped = ab2_substep(state["solution"], G, G_prev, dt, self.ab2_chi, euler)
+            stepped = (stepped_f if fadv else
+                       ab2_substep(state["solution"], G, G_prev, dt,
+                                   self.ab2_chi, euler))
             sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
                                        dt, state.get("diffusivities"),
                                        self.bcs, clock0.time)

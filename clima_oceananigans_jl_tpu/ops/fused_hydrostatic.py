@@ -211,6 +211,37 @@ def supports_inkernel_wphy(model):
     return True
 
 
+def supports_fused_hydro_advance(model):
+    """Static gate for the fused ADVANCE (tendencies + AB2 substep in one
+    Pallas pass, the hydrostatic analog of ops/fused_step.py): every
+    tendency term must live inside the kernel (no closures, forcings,
+    boundary-flux values, or immersed tendency masking — those are added
+    to G at the XLA level after the kernel), the free surface must not
+    add a G term either (explicit FS injects −g∇η post-kernel), and the
+    kernel layout must need no per-step transposes (the (x, z, y) state
+    layout, or natural blocks). G_prev is then stored x/y-interior in
+    the kernel layout — the jnp.pad of G and the substep's entire
+    HBM round trip (re-reading ψ, G, G⁻ and re-writing ψ′) vanish."""
+    from ..models.free_surface import ExplicitFreeSurface
+    if os.environ.get("CLIMA_NO_FUSED_STEP"):
+        return False
+    if not model.fused_advection:
+        return False
+    if (model.closure is not None or model.forcing
+            or model.particles is not None
+            or model.immersed_boundary is not None):
+        return False
+    if isinstance(model.free_surface, ExplicitFreeSurface):
+        return False
+    for name in model.prognostic_names():
+        for _axis, _side, bc in model.bcs[name].sides():
+            if bc is not None and bc.kind == "flux" and bc.value is not None:
+                return False
+    if getattr(model, "state_layout", None) == "xzy":
+        return True
+    return preferred_hydro_layout(model) == "yz"
+
+
 def _budget_nfields(model):
     """Per-field VMEM budget divisor — deliberately counts w and pHY′ as
     if they were still kernel inputs even when rebuilt in-kernel (their
@@ -429,11 +460,18 @@ def zy_tiling_ok(model):
         budget_bytes=budget) is not None
 
 
-def fused_hydrostatic_tendencies(model, state, interpret=None):
+def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
     """One fused pass: −U·∇(u,v) − f×U − ∇pHY′ and −∇·(U c) per tracer.
     Returns a dict of with-halo tendency arrays (x/y halo regions zero,
     like the jnp path's wrap-garbage there: downstream never reads G
     halos). Caller must have checked ``supports_fused_hydrostatic``.
+
+    ``advance=(dt, euler)`` — the fused ADVANCE mode
+    (``supports_fused_hydro_advance``): the AB2 substep happens on the
+    VMEM blocks too (ψ′ = ψ + Δt((3/2+χ)G − (1/2+χ)G⁻), reference
+    quasi_adams_bashforth_2.jl:70-104), G_prev arrives/leaves as
+    x/y-INTERIOR arrays in the kernel layout (no pads, no halo-window
+    DMA), and the return value becomes ``(sol′ interiors, G interiors)``.
 
     Ocean z columns are SHALLOW (nz ≈ 24-75), so the natural z-in-lanes
     block layout pads zt up to 128 lanes and wastes up to ~3.4× of the
@@ -542,6 +580,22 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
                              budget_bytes=budget)
     n_out = 2 + n_tr
 
+    # -- fused-advance extras (AB2 scalars via SMEM, interior G_prev) -----
+    ab_smem = []
+    gp_arrays = []
+    if advance is not None:
+        adt, euler = advance
+        if (layout != "yz") and not pre_permuted:
+            raise ValueError("fused advance requires a transpose-free "
+                             "layout (supports_fused_hydro_advance)")
+        chi = jnp.where(euler, -0.5, jnp.asarray(model.ab2_chi, dtype))
+        ab_smem = [
+            (1.5 + chi).astype(dtype).reshape(1, 1),
+            (0.5 + chi).astype(dtype).reshape(1, 1),
+            jnp.asarray(adt, dtype).reshape(1, 1),
+        ]
+        gp_arrays = [state["G_prev"][n] for n in ("u", "v") + tuple(names)]
+
     n_vel = 2 if in_k else 3
     field_inputs = [u, v] + ([] if in_k else [w]) + [sol[n] for n in names]
     ph_is_input = has_ph and not in_k
@@ -566,6 +620,10 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         k += int(ph_is_input)
         m_refs = refs[k:k + len(mask_locs)]
         k += len(mask_locs)
+        ab_refs = refs[k:k + len(ab_smem)]
+        k += len(ab_smem)
+        gp_refs = refs[k:k + len(gp_arrays)]
+        k += len(gp_arrays)
         out_refs = refs[k:]
 
         jy = pl.program_id(0)
@@ -605,8 +663,20 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
             G = hydrostatic_advective_core(
                 kg, scheme, ts, cor_k, names, ub, vb, wb, tr_blocks,
                 pHY=ph_b)
+        if advance is None:
+            for i, n in enumerate(("u", "v") + tuple(names)):
+                out_refs[i][:] = G[n][sl]
+            return
+        # fused AB2 substep on the resident blocks: ψ′ = ψ + Δt(c1 G −
+        # c2 G⁻) — the exact ab2_substep expression tree; G⁻ windows are
+        # interior tiles, so no slicing
+        c1s, c2s, dtv = (r[0, 0] for r in ab_refs)
+        probs = [ub, vb] + [tr_blocks[n] for n in names]
         for i, n in enumerate(("u", "v") + tuple(names)):
-            out_refs[i][:] = G[n][sl]
+            g_int = G[n][sl]
+            out_refs[i][:] = probs[i][sl] + dtv * (c1s * g_int
+                                                   - c2s * gp_refs[i][:])
+            out_refs[n_out + i][:] = g_int
 
     smem = pl.BlockSpec((1, 1), lambda jy, jx: (0, 0),
                         memory_space=pltpu.SMEM)
@@ -651,20 +721,31 @@ def fused_hydrostatic_tendencies(model, state, interpret=None):
         out_spec = pl.BlockSpec((tx, ty, zt), lambda jy, jx: (jx, jy, 0))
         out_shape = jax.ShapeDtypeStruct((nx, ny, zt), dtype)
 
+    # G_prev rides the SAME interior-tile window family as the outputs
     in_specs = ([smem] * len(cor_smem) + ([pack_win] if has_pack else [])
-                + [win] * len(field_inputs))
-    inputs = (cor_smem + ([pack.pack] if has_pack else []) + field_inputs)
+                + [win] * len(field_inputs)
+                + [smem] * len(ab_smem) + [out_spec] * len(gp_arrays))
+    inputs = (cor_smem + ([pack.pack] if has_pack else []) + field_inputs
+              + ab_smem + gp_arrays)
+    n_total_out = n_out * (2 if advance is not None else 1)
 
     outs = pl.pallas_call(
         kernel,
         grid=(ny // ty, nx // tx),
         in_specs=in_specs,
-        out_specs=[out_spec] * n_out,
-        out_shape=[out_shape] * n_out,
+        out_specs=[out_spec] * n_total_out,
+        out_shape=[out_shape] * n_total_out,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*inputs)
 
+    all_names = ("u", "v") + tuple(names)
+    if advance is not None:
+        # interiors, kernel layout: (ψ′, G) — the model pads ψ′ back to
+        # halo shape (halos refilled by update_state) and stores G
+        # verbatim as next step's interior G_prev
+        return ({n: outs[i] for i, n in enumerate(all_names)},
+                {n: outs[n_out + i] for i, n in enumerate(all_names)})
     if pre_permuted:
         # outputs stay in the (x, z, y) state layout
         pad = ((hx, hx), (0, 0), (hy, hy))

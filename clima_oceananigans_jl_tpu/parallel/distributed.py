@@ -54,7 +54,8 @@ class DistributedModel:
         self.mesh = mesh
         self.mesh_shape = (mesh.shape["x"], mesh.shape["y"])
         if (getattr(model, "state_layout", None) is not None
-                or getattr(model, "wphy_in_kernel", False)):
+                or getattr(model, "wphy_in_kernel", False)
+                or getattr(model, "fused_advance", False)):
             # The permuted (x, z, y) state layout is single-device only:
             # scatter_state shards array axis 1 with P('x', 'y') and the
             # halo exchange ppermutes assume the natural orientation. Run
@@ -62,9 +63,13 @@ class DistributedModel:
             # kernel still engages, paying its local transposes).
             # wphy_in_kernel is likewise cleared: the distributed step's
             # overlap/tendency paths consume state["w"]/state["pHY"].
+            # fused_advance too: interior-shaped G_prev would break the
+            # P('x','y') scatter and the halo exchange.
             model = copy.copy(model)
             model.state_layout = None
             model.wphy_in_kernel = False
+            if getattr(model, "fused_advance", False):
+                model.fused_advance = False
         self.global_model = model
         self.grid = model.grid  # the global grid (for the user-facing API)
         (self.stacked_grid, self.grid_specs,

@@ -239,3 +239,67 @@ def test_inkernel_wphy_step_equivalence(monkeypatch):
     ts1 = float(m1.cell_advection_timescale(s1))
     ts0 = float(m0.cell_advection_timescale(s0))
     np.testing.assert_allclose(ts1, ts0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("fs_kind", ["split", "implicit"])
+def test_fused_advance_step_equivalence(fs_kind, monkeypatch):
+    """supports_fused_hydro_advance: tendencies + the AB2 substep in ONE
+    Pallas pass, with G_prev stored x/y-interior in the kernel layout.
+    Full-step equivalence vs the two-stage path (CLIMA_NO_FUSED_STEP) for
+    both free-surface families (reference quasi_adams_bashforth_2.jl:70-104
+    is the substep being fused)."""
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        ImplicitFreeSurface, SplitExplicitFreeSurface)
+
+    def build():
+        fs = (SplitExplicitFreeSurface(substeps=8) if fs_kind == "split"
+              else ImplicitFreeSurface())
+        return HydrostaticFreeSurfaceModel(
+            _latlon(), momentum_advection=VectorInvariant(scheme="weno"),
+            tracer_advection=WENO5(), tracers=("T",), free_surface=fs,
+            coriolis=HydrostaticSphericalCoriolis(),
+            buoyancy=BuoyancyTracer(), fused_advection=True)
+
+    m1 = build()
+    assert m1.fused_advance, "advance gate should engage"
+    monkeypatch.setenv("CLIMA_NO_FUSED_STEP", "1")
+    m0 = build()
+    monkeypatch.delenv("CLIMA_NO_FUSED_STEP")
+    assert not m0.fused_advance
+
+    def init(mm):
+        return mm.initial_state(
+            u=lambda lam, phi, z: 0.05 * jnp.cos(jnp.deg2rad(phi)),
+            v=lambda lam, phi, z: 0.01 * jnp.sin(jnp.deg2rad(2 * lam)),
+            b=lambda lam, phi, z: 1e-5 * z,
+            T=lambda lam, phi, z: 10.0 + 1e-3 * z)
+
+    s1, s0 = init(m1), init(m0)
+    g = m1.grid
+    # G_prev really is stored interior (z keeps halos)
+    assert s1["G_prev"]["u"].shape == (g.Nx, g.Ny, g.total_shape[2])
+    assert s0["G_prev"]["u"].shape == g.total_shape
+    dt = jnp.float64(200.0)
+    st1, st0 = jax.jit(m1.step), jax.jit(m0.step)
+    for _ in range(4):
+        s1 = st1(s1, dt)
+        s0 = st0(s0, dt)
+    for n in ("u", "v", "T", "b"):
+        a = np.asarray(g.interior(s1["solution"][n]))
+        b = np.asarray(g.interior(s0["solution"][n]))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() <= 1e-13 * scale, n
+    a, b = np.asarray(s1["eta"]), np.asarray(s0["eta"])
+    assert np.abs(a - b).max() <= 1e-13 * max(np.abs(b).max(), 1e-30)
+
+    # cross-gate G_prev coercion (e.g. a checkpoint moved across
+    # backends): halo-shaped G_prev on an advance model is sliced, an
+    # interior one on a two-stage model is zero-padded — continuing from
+    # the swapped state stays equivalent (G halos are never read)
+    s1_on_m0 = jax.jit(m0.step)(dict(s0, G_prev=s1["G_prev"]), dt)
+    s0_on_m1 = jax.jit(m1.step)(dict(s1, G_prev=s0["G_prev"]), dt)
+    for n in ("u", "v", "T", "b"):
+        a = np.asarray(g.interior(s0_on_m1["solution"][n]))
+        b = np.asarray(g.interior(s1_on_m0["solution"][n]))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() <= 1e-13 * scale, n
