@@ -183,15 +183,15 @@ def _axslice(data, axis, idx):
 
 
 def _mirror_slab(data, axis, interior_idx):
-    """Gather the mirror layers for a whole ghost slab in one op (a flip of
-    a contiguous range when no clamping is needed, else a gather)."""
-    idx = list(interior_idx)
-    rev = list(reversed(idx))
-    if rev == list(range(rev[0], rev[0] + len(rev))):  # contiguous descending
-        sl = [slice(None)] * data.ndim
-        sl[axis] = slice(rev[0], rev[0] + len(rev))
-        return jnp.flip(data[tuple(sl)], axis=axis)
-    return jnp.take(data, jnp.asarray(idx), axis=axis)
+    """Gather the mirror layers for a ghost slab as per-layer slices +
+    one concatenate. A flip/take would be a single op, but `rev` and
+    `gather` cannot lower inside Pallas TPU kernels (the fused
+    hydrostatic kernel replays these fills on VMEM blocks) and the slab
+    is ≤ halo-width layers, so XLA fuses this identically."""
+    layers = [jax.lax.slice_in_dim(data, i, i + 1, axis=axis)
+              for i in interior_idx]
+    return (layers[0] if len(layers) == 1
+            else jax.lax.concatenate(layers, axis))
 
 
 def _layer_shape(data, axis, n):
@@ -286,7 +286,11 @@ def _fill_bounded_side(data, grid, loc, axis, side, bc, t=0.0):
 
 
 def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
-                    perm=None):
+                    perm=None, concat=False):
+    """``concat=True``: assemble the filled array with lax.concatenate
+    instead of ``.at[].set`` slab updates — REQUIRED inside Pallas TPU
+    kernels (``.at[].set`` traces to a ``scatter`` primitive Mosaic
+    cannot lower; on a VMEM block a concat costs nothing anyway)."""
     topo = grid.topology[axis]
     if topo is FLAT:
         return data
@@ -296,6 +300,10 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
     S = lambda idx: _axslice(data, pax, idx)
 
     if topo in (PERIODIC,):
+        if concat:
+            return jax.lax.concatenate(
+                [data[S(slice(N, N + H))], data[S(slice(H, N + H))],
+                 data[S(slice(H, 2 * H))]], pax)
         # two in-place slab updates: XLA aliases the buffer and touches
         # only the halo slabs, where a concat re-materializes the whole
         # array (measured 1.69 GB vs 0.31 GB accessed per 3-axis fill of
@@ -326,6 +334,14 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
     # pre-update data; see the periodic branch for why not concat)
     left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t, perm=perm)
     right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t, perm=perm)
+    if concat:
+        parts = ([] if left is None else [left])
+        parts.append(data[S(slice(cut0 if left is not None else 0,
+                                  cut1 if right is not None
+                                  else data.shape[pax]))])
+        if right is not None:
+            parts.append(right)
+        return jax.lax.concatenate(parts, pax) if len(parts) > 1 else parts[0]
     if left is not None:
         data = data.at[S(slice(0, cut0))].set(left)
     if right is not None:

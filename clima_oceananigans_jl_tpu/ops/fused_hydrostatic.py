@@ -269,6 +269,30 @@ def _plan_hydro_tiles(model, layout=None):
     return _tile_sizes(*args, **kw)
 
 
+def _scan_sum(a, axis, reverse=False):
+    """Inclusive prefix (or suffix) sum along ``axis`` as a Hillis–Steele
+    doubling ladder of static pad-shift adds — ``jnp.cumsum`` lowers to a
+    ``cumsum`` primitive Mosaic cannot lower inside a Pallas TPU kernel,
+    while this is ⌈log₂ n⌉ full-block adds of ops Mosaic handles
+    (slice/concatenate/add). n is tiny in the z column (≈ 24-75), so the
+    extra FLOPs are noise; summation ORDER differs from the serial
+    cumsum, so in-kernel w/pHY′ match the XLA path to reassociation
+    precision (the equivalence tests' documented tolerance)."""
+    n = a.shape[axis]
+    shift = 1
+    while shift < n:
+        if reverse:
+            kept = jax.lax.slice_in_dim(a, shift, n, axis=axis)
+            zpad = jnp.zeros_like(jax.lax.slice_in_dim(a, 0, shift, axis=axis))
+            a = a + jax.lax.concatenate([kept, zpad], axis)
+        else:
+            kept = jax.lax.slice_in_dim(a, 0, n - shift, axis=axis)
+            zpad = jnp.zeros_like(jax.lax.slice_in_dim(a, 0, shift, axis=axis))
+            a = a + jax.lax.concatenate([zpad, kept], axis)
+        shift *= 2
+    return a
+
+
 def _w_block(kg, parent, w_bcs, ub, vb, layout):
     """w-from-continuity on a VMEM block — replays
     ``HydrostaticModel.compute_w`` + its halo fill exactly (reference
@@ -298,16 +322,23 @@ def _w_block(kg, parent, w_bcs, ub, vb, layout):
     incr = jnp.broadcast_to(kg.dz(CENTER), d.shape) * d
     sl = [slice(None)] * 3
     sl[zax] = slice(Hz, Hz + Nz)
-    cum = jnp.cumsum(incr[tuple(sl)], axis=zax)
-    w = jnp.zeros_like(d)
-    wsl = [slice(None)] * 3
-    wsl[zax] = slice(Hz + 1, Hz + Nz + 1)
-    w = w.at[tuple(wsl)].set(-cum)
+    cum = _scan_sum(incr[tuple(sl)], zax)
+    # assemble by concatenation, NOT .at[].set — indexed updates trace to
+    # a `scatter` primitive Mosaic cannot lower inside the kernel
+    zt = d.shape[zax]
+
+    def zeros_z(n):
+        shp = list(d.shape)
+        shp[zax] = n
+        return jnp.zeros(tuple(shp), d.dtype)
+
+    w = jax.lax.concatenate(
+        [zeros_z(Hz + 1), -cum, zeros_z(zt - Hz - Nz - 1)], zax)
     if parent.topology[1] not in (PERIODIC, FLAT):
         w = fill_halos_axis(w, parent, W_LOC, 1, w_bcs.south, w_bcs.north,
-                            perm=perm)
+                            perm=perm, concat=True)
     return fill_halos_axis(w, parent, W_LOC, 2, w_bcs.bottom, w_bcs.top,
-                           perm=perm)
+                           perm=perm, concat=True)
 
 
 def _ph_block(buoyancy, kg, parent, tracers, layout):
@@ -332,11 +363,17 @@ def _ph_block(buoyancy, kg, parent, tracers, layout):
     sl = [slice(None)] * 3
     sl[zax] = slice(Hz + 1, Hz + Nz + 1)
     S_int = S[tuple(sl)]
-    ph_int = -jnp.flip(jnp.cumsum(jnp.flip(S_int, zax), zax), zax)
-    ph = jnp.zeros_like(b)
-    osl = [slice(None)] * 3
-    osl[zax] = slice(Hz, Hz + Nz)
-    return ph.at[tuple(osl)].set(ph_int)
+    ph_int = -_scan_sum(S_int, zax, reverse=True)
+    # concat assembly (scatter is unlowerable in-kernel; see _w_block)
+    zt = b.shape[zax]
+
+    def zeros_z(n):
+        shp = list(b.shape)
+        shp[zax] = n
+        return jnp.zeros(tuple(shp), b.dtype)
+
+    return jax.lax.concatenate(
+        [zeros_z(Hz), ph_int, zeros_z(zt - Hz - Nz)], zax)
 
 
 class _DuckImmersed:
