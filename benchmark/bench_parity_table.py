@@ -30,7 +30,8 @@ def _sync(out):
 
 
 def run_steps(model, state, dt, reps=REPS):
-    step = jax.jit(model.step, donate_argnums=0)
+    from clima_oceananigans_jl_tpu.models.compile import compile_step
+    step, state = compile_step(model, state, dt, donate=True)
     t0 = time.perf_counter()
     state = step(state, dt)
     _sync(state)

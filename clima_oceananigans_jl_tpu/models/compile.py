@@ -1,0 +1,70 @@
+"""Step compilation with TPU layout pinning.
+
+On TPU, XLA's automatic entry-layout assignment picks the physical
+layout it likes for each jit boundary array. For the hydrostatic
+model's shallow-z (x, z, y) state (``state_layout == "xzy"``,
+models/hydrostatic.py) it picks ``{2,0,1}`` — z outermost — while
+Mosaic requires the default row-major ``{2,1,0}`` for every Pallas
+operand/result, so EVERY kernel input is relayout-copied on the way in
+and every output on the way out (~2 GB/step of pure copies at the ¼°
+flagship; the HLO shows them as ``copy``/``copy-start`` pairs around
+each ``tpu_custom_call``). Pinning row-major at the jit boundary
+removes them all: measured 37.7 → 32.3 ms/step (551 → 642 M pts/s) at
+1440×600×24.
+
+``compile_step(model, state, dt)`` returns ``(step_fn, state)`` — the
+jitted step with pinned in/out layouts where that matters (and the
+state re-laid-out to match, so the first compile already sees the final
+layouts). Models/backends where XLA's choice already coincides with the
+kernels' get a plain ``jax.jit``.
+"""
+from __future__ import annotations
+
+import jax
+
+_ROW_MAJOR = None
+
+
+def _row_major_format():
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+    return Format(Layout((0, 1, 2)), SingleDeviceSharding(jax.devices()[0]))
+
+
+def _wants_pinning(model):
+    return (jax.default_backend() == "tpu"
+            and getattr(model, "state_layout", None) == "xzy")
+
+
+def format_state(model, state):
+    """Re-lay-out the 3D leaves of ``state`` to the kernels' row-major
+    layout (no-op unless the model wants pinning)."""
+    if not _wants_pinning(model):
+        return state
+    fmt = _row_major_format()
+
+    def put(x):
+        if getattr(x, "ndim", 0) == 3:
+            return jax.device_put(x, fmt)
+        return x
+    return jax.tree_util.tree_map(put, state)
+
+
+def compile_step(model, state, dt=None, donate=False):
+    """``(step_fn, state)``: jitted ``model.step`` with row-major layouts
+    pinned at the boundary when the model's Pallas kernels need it."""
+    if not _wants_pinning(model):
+        fn = jax.jit(model.step, donate_argnums=0 if donate else ())
+        return fn, state
+    from jax.sharding import SingleDeviceSharding
+    fmt = _row_major_format()
+    plain = SingleDeviceSharding(jax.devices()[0])
+    state = format_state(model, state)
+    if dt is None:
+        dt = model.grid.dtype(0.0)
+    out_sh = jax.tree_util.tree_map(
+        lambda s: fmt if len(s.shape) == 3 else plain,
+        jax.eval_shape(model.step, state, dt))
+    fn = jax.jit(model.step, donate_argnums=0 if donate else (),
+                 out_shardings=out_sh)
+    return fn, state

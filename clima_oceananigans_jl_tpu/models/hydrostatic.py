@@ -160,7 +160,14 @@ class HydrostaticFreeSurfaceModel:
         parent = getattr(self.grid, "parent", self.grid)
         if parent.dist != (None, None, None):
             return None
-        if (self.closure is not None or self.immersed_boundary is not None
+        from ..ops.fused_hydrostatic import kernel_closure
+        if self.closure is not None and (
+                kernel_closure(self) is None
+                or getattr(self.closure, "vertically_implicit", False)):
+            # in-kernel diffusion keeps the permuted step layout-aware;
+            # the implicit vertical solve assumes natural z-last arrays
+            return None
+        if (self.immersed_boundary is not None
                 or self.particles is not None or self.forcing):
             return None
         # tendency-level boundary fluxes and discrete-form BCs evaluate
@@ -499,11 +506,16 @@ class HydrostaticFreeSurfaceModel:
               else None)
 
         from ..ops.fused_hydrostatic import (fused_hydrostatic_tendencies,
-                                             hydrostatic_advective_core)
+                                             hydrostatic_advective_core,
+                                             kernel_closure)
+        ker_cl = None
         if (self.fused_advection
                 and getattr(grid, "dist", (None,) * 3) == (None, None, None)):
-            # ONE Pallas pass: advection + Coriolis + ∂pHY′ for every
-            # prognostic field; closures/forcings/BC fluxes added below
+            # ONE Pallas pass: advection + Coriolis + ∂pHY′ — and the
+            # explicit part of a constant-coefficient ScalarDiffusivity —
+            # for every prognostic field; other closures/forcings/BC
+            # fluxes are added below
+            ker_cl = kernel_closure(self)
             G = fused_hydrostatic_tendencies(self, state)
         else:
             G = hydrostatic_advective_core(grid, self.momentum_advection,
@@ -523,7 +535,7 @@ class HydrostaticFreeSurfaceModel:
             Gv = Gv - gey
 
         diff = state.get("diffusivities")
-        if self.closure is not None:
+        if self.closure is not None and ker_cl is None:
             Gu = Gu + momentum_diffusion(u, grid, U_LOC, self.closure, diff)
             Gv = Gv + momentum_diffusion(v, grid, V_LOC, self.closure, diff)
 
@@ -532,7 +544,7 @@ class HydrostaticFreeSurfaceModel:
         for name in self.tracer_names:
             c = sol[name]
             Gc = G[name]
-            if self.closure is not None:
+            if self.closure is not None and ker_cl is None:
                 Gc = Gc + tracer_diffusion(c, grid, name, self.closure, diff)
                 closures = (self.closure if isinstance(self.closure, (tuple, list))
                             else (self.closure,))

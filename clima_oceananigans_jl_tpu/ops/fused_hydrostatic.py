@@ -43,14 +43,24 @@ from .kernel_grid import build_metric_pack, supports_metric_pack
 
 
 def hydrostatic_advective_core(grid, scheme, tracer_scheme, coriolis,
-                               tracer_names, u, v, w, tracers, pHY=None):
+                               tracer_names, u, v, w, tracers, pHY=None,
+                               closure=None):
     """The hydrostatic model's advective/Coriolis/∂pHY′ tendency core
     (reference hydrostatic_free_surface_tendency_kernel_functions.jl:1-80)
     as one whole-array function of the metric protocol — shared verbatim
     by the jnp path (models/hydrostatic.py) and the fused Pallas kernel,
-    which is what makes the two paths bit-identical."""
+    which is what makes the two paths bit-identical.
+
+    ``closure``: a kernel-expressible constant-coefficient
+    ScalarDiffusivity (``kernel_closure``) whose EXPLICIT ν∇²/κ∇² terms
+    are added here — ±1-reach stencils of the same metric protocol, so
+    they run on VMEM blocks unchanged and the model skips its XLA-side
+    diffusion pass (a vertically-implicit closure's z part stays in the
+    operator-split solve either way)."""
     from ..advection.fluxes import div_Uc, div_vu, div_vv
     from ..advection.vector_invariant import VectorInvariant
+    from ..closures.scalar_diffusivity import (momentum_diffusion,
+                                               tracer_diffusion)
     from ..ops import stencil as st
 
     if isinstance(scheme, VectorInvariant):
@@ -71,12 +81,44 @@ def hydrostatic_advective_core(grid, scheme, tracer_scheme, coriolis,
         Gu = Gu - st.dxf(pHY) / grid.dx(U_LOC)
         Gv = Gv - st.dyf(pHY) / grid.dy(V_LOC)
 
+    if closure is not None:
+        Gu = Gu + momentum_diffusion(u, grid, U_LOC, closure)
+        Gv = Gv + momentum_diffusion(v, grid, V_LOC, closure)
+
     G = {"u": Gu, "v": Gv}
     for name in tracer_names:
         c = tracers[name]
-        G[name] = (-div_Uc(grid, tracer_scheme, u, v, w, c)
-                   if tracer_scheme is not None else jnp.zeros_like(c))
+        Gc = (-div_Uc(grid, tracer_scheme, u, v, w, c)
+              if tracer_scheme is not None else jnp.zeros_like(c))
+        if closure is not None:
+            Gc = Gc + tracer_diffusion(c, grid, name, closure)
+        G[name] = Gc
     return G
+
+
+def kernel_closure(model):
+    """The model's closure when its EXPLICIT part is expressible inside
+    the fused kernel: a single constant-coefficient ScalarDiffusivity
+    (scalar ν/κ — per-tracer κ dicts of scalars included), no immersed
+    boundary (diffusive no-flux masking reads solid masks at flux
+    locations the kernel doesn't carry). Returns None otherwise — the
+    model then adds diffusion at the XLA level as before."""
+    from ..closures.scalar_diffusivity import ScalarDiffusivity
+    cl = model.closure
+    if not isinstance(cl, ScalarDiffusivity):
+        return None
+    if getattr(model.grid, "immersed", None) is not None:
+        return None
+
+    def scalar_ok(v):
+        if v is None:
+            return True
+        if isinstance(v, dict):
+            return all(scalar_ok(x) for x in v.values())
+        return not callable(v) and jnp.ndim(v) == 0
+    if not all(scalar_ok(v) for v in (cl.nu, cl.kappa, cl.nu_z, cl.kappa_z)):
+        return None
+    return cl
 
 
 def _kernel_schemes(model):
@@ -181,8 +223,8 @@ def supports_inkernel_wphy(model):
         return False
     if parent.topology[2] is not BOUNDED:
         return False
-    if (model.closure is not None or model.particles is not None
-            or model.forcing):
+    if (model.particles is not None or model.forcing
+            or (model.closure is not None and kernel_closure(model) is None)):
         return False
     # w z-ghost formulas must be replayable on a block: scalar/None values
     for side in ("bottom", "top"):
@@ -227,9 +269,9 @@ def supports_fused_hydro_advance(model):
         return False
     if not model.fused_advection:
         return False
-    if (model.closure is not None or model.forcing
-            or model.particles is not None
-            or model.immersed_boundary is not None):
+    if (model.forcing or model.particles is not None
+            or model.immersed_boundary is not None
+            or (model.closure is not None and kernel_closure(model) is None)):
         return False
     if isinstance(model.free_surface, ExplicitFreeSurface):
         return False
@@ -589,9 +631,12 @@ def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
             if m is not None:
                 rmasks[(axis, s.required_halo)] = m
 
-    # -- coriolis scalars ride SMEM (leaves may be traced) ----------------
+    # -- coriolis/closure scalars ride SMEM (leaves may be traced) --------
     cor_leaves, cor_treedef = jax.tree_util.tree_flatten(cor)
     cor_smem = [jnp.asarray(l, dtype).reshape(1, 1) for l in cor_leaves]
+    kcl = kernel_closure(model)
+    cl_leaves, cl_treedef = jax.tree_util.tree_flatten(kcl)
+    cl_smem = [jnp.asarray(l, dtype).reshape(1, 1) for l in cl_leaves]
 
     mask_locs = _mask_locs(model)
     mask_arrays = [imm.mask_for(l).astype(dtype) for l in mask_locs]
@@ -649,6 +694,8 @@ def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
         k = 0
         cor_refs = refs[:len(cor_smem)]
         k += len(cor_smem)
+        cl_refs = refs[k:k + len(cl_smem)]
+        k += len(cl_smem)
         pack_ref = refs[k] if has_pack else None
         k += int(has_pack)
         f_refs = refs[k:k + n_vel + n_tr]
@@ -674,6 +721,8 @@ def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
                       if mask_locs else None))
         cor_k = jax.tree_util.tree_unflatten(
             cor_treedef, [r[0, 0] for r in cor_refs])
+        cl_k = jax.tree_util.tree_unflatten(
+            cl_treedef, [r[0, 0] for r in cl_refs])
 
         ub, vb = f_refs[0][:], f_refs[1][:]
         wb = None if in_k else f_refs[2][:]
@@ -699,7 +748,7 @@ def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
                 ph_b = ph_ref[:] if has_ph else None
             G = hydrostatic_advective_core(
                 kg, scheme, ts, cor_k, names, ub, vb, wb, tr_blocks,
-                pHY=ph_b)
+                pHY=ph_b, closure=cl_k)
         if advance is None:
             for i, n in enumerate(("u", "v") + tuple(names)):
                 out_refs[i][:] = G[n][sl]
@@ -759,11 +808,12 @@ def fused_hydrostatic_tendencies(model, state, interpret=None, advance=None):
         out_shape = jax.ShapeDtypeStruct((nx, ny, zt), dtype)
 
     # G_prev rides the SAME interior-tile window family as the outputs
-    in_specs = ([smem] * len(cor_smem) + ([pack_win] if has_pack else [])
+    in_specs = ([smem] * (len(cor_smem) + len(cl_smem))
+                + ([pack_win] if has_pack else [])
                 + [win] * len(field_inputs)
                 + [smem] * len(ab_smem) + [out_spec] * len(gp_arrays))
-    inputs = (cor_smem + ([pack.pack] if has_pack else []) + field_inputs
-              + ab_smem + gp_arrays)
+    inputs = (cor_smem + cl_smem + ([pack.pack] if has_pack else [])
+              + field_inputs + ab_smem + gp_arrays)
     n_total_out = n_out * (2 if advance is not None else 1)
 
     outs = pl.pallas_call(

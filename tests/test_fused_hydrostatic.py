@@ -303,3 +303,54 @@ def test_fused_advance_step_equivalence(fs_kind, monkeypatch):
         b = np.asarray(g.interior(s1_on_m0["solution"][n]))
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() <= 1e-13 * scale, n
+
+
+@pytest.mark.parametrize("td", ["explicit", "vertically_implicit"])
+def test_inkernel_scalar_diffusivity(td, monkeypatch):
+    """kernel_closure: a constant-coefficient ScalarDiffusivity's explicit
+    ν∇²/κ∇² terms run INSIDE the fused kernel (reference adds them in the
+    same tendency kernel launch, hydrostatic_free_surface_tendency_
+    kernel_functions.jl:34-36); the fused-advance gate stays open. Full
+    step vs the XLA-side diffusion path (CLIMA_NO_FUSED disables the
+    kernel but keeps the fused halo widths, so states align)."""
+    from clima_oceananigans_jl_tpu import ScalarDiffusivity
+    from clima_oceananigans_jl_tpu.models.free_surface import (
+        SplitExplicitFreeSurface)
+
+    cl = ScalarDiffusivity(nu=1e3, kappa={"T": 1e2}, nu_z=1e-3,
+                           kappa_z=1e-4, time_discretization=td)
+
+    def build():
+        return HydrostaticFreeSurfaceModel(
+            _latlon(), momentum_advection=VectorInvariant(scheme="weno"),
+            tracer_advection=WENO5(), tracers=("T",), closure=cl,
+            free_surface=SplitExplicitFreeSurface(substeps=8),
+            coriolis=HydrostaticSphericalCoriolis(),
+            buoyancy=BuoyancyTracer(), fused_advection=True)
+
+    m1 = build()
+    assert m1.fused_advance and m1.wphy_in_kernel, \
+        "kernel closure should keep the advance/wphy gates open"
+    monkeypatch.setenv("CLIMA_NO_FUSED", "1")
+    m0 = build()
+    monkeypatch.delenv("CLIMA_NO_FUSED")
+    assert not m0.fused_advection and m0.grid.halo == m1.grid.halo
+
+    def init(mm):
+        return mm.initial_state(
+            u=lambda lam, phi, z: 0.05 * jnp.cos(jnp.deg2rad(phi)),
+            v=lambda lam, phi, z: 0.01 * jnp.sin(jnp.deg2rad(2 * lam)),
+            b=lambda lam, phi, z: 1e-5 * z,
+            T=lambda lam, phi, z: 10.0 + 1e-3 * z)
+
+    s1, s0 = init(m1), init(m0)
+    st1, st0 = jax.jit(m1.step), jax.jit(m0.step)
+    dt = jnp.float64(200.0)
+    for _ in range(3):
+        s1 = st1(s1, dt)
+        s0 = st0(s0, dt)
+    for n in ("u", "v", "T", "b"):
+        a = np.asarray(m1.grid.interior(s1["solution"][n]))
+        b = np.asarray(m0.grid.interior(s0["solution"][n]))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() <= 1e-13 * scale, n
