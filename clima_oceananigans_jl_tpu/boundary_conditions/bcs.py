@@ -182,16 +182,24 @@ def _axslice(data, axis, idx):
     return tuple(sl)
 
 
-def _mirror_slab(data, axis, interior_idx):
-    """Gather the mirror layers for a ghost slab as per-layer slices +
-    one concatenate. A flip/take would be a single op, but `rev` and
-    `gather` cannot lower inside Pallas TPU kernels (the fused
-    hydrostatic kernel replays these fills on VMEM blocks) and the slab
-    is ≤ halo-width layers, so XLA fuses this identically."""
-    layers = [jax.lax.slice_in_dim(data, i, i + 1, axis=axis)
-              for i in interior_idx]
-    return (layers[0] if len(layers) == 1
-            else jax.lax.concatenate(layers, axis))
+def _mirror_slab(data, axis, interior_idx, concat=False):
+    """Gather the mirror layers for a whole ghost slab in one op (a flip
+    of a contiguous range when no clamping is needed, else a gather).
+    ``concat=True`` (Pallas kernel callers): per-layer slices + one
+    concatenate instead — `rev` and `gather` cannot lower inside Mosaic
+    kernels, and a halo-width slab on a VMEM block costs nothing."""
+    if concat:
+        layers = [jax.lax.slice_in_dim(data, i, i + 1, axis=axis)
+                  for i in interior_idx]
+        return (layers[0] if len(layers) == 1
+                else jax.lax.concatenate(layers, axis))
+    idx = list(interior_idx)
+    rev = list(reversed(idx))
+    if rev == list(range(rev[0], rev[0] + len(rev))):  # contiguous descending
+        sl = [slice(None)] * data.ndim
+        sl[axis] = slice(rev[0], rev[0] + len(rev))
+        return jnp.flip(data[tuple(sl)], axis=axis)
+    return jnp.take(data, jnp.asarray(idx), axis=axis)
 
 
 def _layer_shape(data, axis, n):
@@ -200,7 +208,8 @@ def _layer_shape(data, axis, n):
     return tuple(shape)
 
 
-def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None):
+def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None,
+                  concat=False):
     """(slab, cut) for one bounded side: `slab` replaces array indices
     [0:cut) (side 0) or [cut:end) (side 1). slab=None → nothing to write.
     ``perm``: physical axis permutation for arrays stored transposed
@@ -231,7 +240,7 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None):
             ghosts = list(range(H + N, H + N + H))
             mirrors = [clampc(2 * (H + N) - 1 - g) for g in ghosts]
             cut = H + N
-        slab = _mirror_slab(data, pax, mirrors)
+        slab = _mirror_slab(data, pax, mirrors, concat=concat)
         if kind == "value":
             slab = 2.0 * b - slab
         elif kind == "gradient":
@@ -256,7 +265,8 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None):
     mirrors = [min(max(2 * bidx - g, lo), hi) for g in ghosts]
     if kind in ("open", "value"):
         bf = jnp.broadcast_to(b, _layer_shape(data, pax, 1))
-        ghost = (2.0 * b - _mirror_slab(data, pax, mirrors)) if ghosts else None
+        ghost = ((2.0 * b - _mirror_slab(data, pax, mirrors, concat=concat))
+             if ghosts else None)
         if side == 0:
             parts = ([jnp.broadcast_to(ghost, _layer_shape(data, pax, len(ghosts))), bf]
                      if ghost is not None else [bf])
@@ -267,7 +277,7 @@ def _bounded_slab(data, grid, loc, axis, side, bc, t=0.0, perm=None):
     # flux/default: zero-gradient mirror about the (untouched) boundary face
     if not ghosts:
         return None, (H if side == 0 else H + N + 1)
-    slab = jnp.broadcast_to(_mirror_slab(data, pax, mirrors),
+    slab = jnp.broadcast_to(_mirror_slab(data, pax, mirrors, concat=concat),
                             _layer_shape(data, pax, len(ghosts)))
     return slab, (H if side == 0 else H + N + 1)
 
@@ -332,8 +342,10 @@ def fill_halos_axis(data, grid, loc, axis, bc_left, bc_right, t=0.0,
 
     # bounded: in-place slab writes (both slabs computed from the
     # pre-update data; see the periodic branch for why not concat)
-    left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t, perm=perm)
-    right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t, perm=perm)
+    left, cut0 = _bounded_slab(data, grid, loc, axis, 0, bc_left, t,
+                               perm=perm, concat=concat)
+    right, cut1 = _bounded_slab(data, grid, loc, axis, 1, bc_right, t,
+                                perm=perm, concat=concat)
     if concat:
         parts = ([] if left is None else [left])
         parts.append(data[S(slice(cut0 if left is not None else 0,

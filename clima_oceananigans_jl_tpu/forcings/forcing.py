@@ -116,3 +116,31 @@ class AdvectiveForcing:
         shape = grid.total_shape
         to = lambda q: jnp.broadcast_to(jnp.asarray(q, grid.dtype), shape)
         return -div_Uc(grid, self.scheme, to(self.u), to(self.v), to(self.w), c)
+
+
+class MultipleForcings:
+    """Several forcings on one field, summed (the reference accepts a
+    tuple per field, e.g. ``forcing = (; a = (a_reaction, sinking))`` —
+    validation/biogeochemistry/two_reacting_tracers.jl:21)."""
+
+    def __init__(self, parts):
+        self.parts = tuple(parts)
+
+    def __call__(self, grid, clock, fields):
+        out = self.parts[0](grid, clock, fields)
+        for p in self.parts[1:]:
+            out = out + p(grid, clock, fields)
+        return out
+
+
+def regularize_forcing(name, f):
+    """Reference-style normalization of one field's forcing spec: tuples
+    and lists sum (``MultipleForcings``); an ``AdvectiveForcing`` without
+    an explicit ``field_name`` binds to its dict key (the reference
+    regularizes forcings against the field they're attached to —
+    src/Forcings/model_forcing.jl)."""
+    if isinstance(f, (tuple, list)):
+        return MultipleForcings(regularize_forcing(name, p) for p in f)
+    if isinstance(f, AdvectiveForcing) and f.field_name is None:
+        return f.for_field(name)
+    return f

@@ -110,7 +110,9 @@ class HydrostaticFreeSurfaceModel:
         self.coriolis = coriolis
         self.closure = closure
         self.particles = particles  # LagrangianParticles or None
-        self.forcing = forcing or {}
+        from ..forcings.forcing import regularize_forcing
+        self.forcing = {k: regularize_forcing(k, v)
+                        for k, v in (forcing or {}).items()}
         self.ab2_chi = 0.1
         user_bcs = boundary_conditions or {}
         self.bcs = {

@@ -91,7 +91,9 @@ class NonhydrostaticModel:
         self.coriolis = coriolis
         self.stokes_drift = stokes_drift
         self.closure = closure
-        self.forcing = forcing or {}
+        from ..forcings.forcing import regularize_forcing
+        self.forcing = {k: regularize_forcing(k, v)
+                        for k, v in (forcing or {}).items()}
         self.background_fields = background_fields or {}
         self.timestepper = timestepper
         self.ab2_chi = 0.1
@@ -620,8 +622,10 @@ class NonhydrostaticModel:
             sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                               self.ab2_chi, euler)
         elif self.fused_step:
-            # tendencies + AB2 substep in one Pallas pass (closure is
-            # None by the fused_step gate, so implicit_step is a no-op).
+            # tendencies + AB2 substep in one Pallas pass (a closure, if
+            # present, is a kernel-expressible ScalarDiffusivity whose
+            # explicit part ran in-kernel; implicit_step below handles a
+            # vertically-implicit one and is a no-op otherwise).
             # NOTE a fill-first reorder (fill halos before projection so
             # div/grad read halos instead of roll-on-interior) measured
             # 522 vs 679 M pts/s on v5e: the fast path's async interior-

@@ -53,7 +53,9 @@ class PrescribedVelocityModel:
         self.grid = grid.with_halo((h, h, h))
         self.tracer_names = tuple(tracers)
         self.closure = closure
-        self.forcing = forcing or {}
+        from ..forcings.forcing import regularize_forcing
+        self.forcing = {k: regularize_forcing(k, v)
+                        for k, v in (forcing or {}).items()}
         self.ab2_chi = 0.1
         user_bcs = boundary_conditions or {}
         self.bcs = {n: regularize_bcs(self.grid, CENTER, user_bcs.get(n))

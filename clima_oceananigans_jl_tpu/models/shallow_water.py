@@ -147,7 +147,9 @@ class ShallowWaterModel:
         self.particles = particles  # LagrangianParticles or None
         self.bathymetry = bathymetry  # hB array at centers or None
         self.tracer_names = tuple(tracers)
-        self.forcing = forcing or {}
+        from ..forcings.forcing import regularize_forcing
+        self.forcing = {k: regularize_forcing(k, v)
+                        for k, v in (forcing or {}).items()}
         user_bcs = boundary_conditions or {}
         un, vn = self._momentum_names()
         self.bcs = {

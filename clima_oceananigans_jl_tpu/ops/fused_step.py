@@ -51,10 +51,11 @@ def fused_step_ok(model):
     if model.coriolis is not None and not isinstance(model.coriolis,
                                                      (FPlane, BetaPlane)):
         return False
-    if (model.closure is not None
-            or model.stokes_drift is not None or model.forcing
+    if (model.stokes_drift is not None or model.forcing
             or model.background_fields or model.immersed_boundary is not None
             or model.particles is not None):
+        return False
+    if model.closure is not None and _step_kernel_closure(model) is None:
         return False
     b = model.buoyancy
     if b is not None and tuple(b.gravity_unit_vector) != (0.0, 0.0, -1.0):
@@ -66,6 +67,58 @@ def fused_step_ok(model):
             if bc is not None and bc.kind == "flux" and bc.value is not None:
                 return False
     return True
+
+
+def _step_kernel_closure(model):
+    """The model's closure when expressible inside the fused AB2 advance:
+    a constant-coefficient ScalarDiffusivity (``kernel_closure``) whose
+    explicit VERTICAL part is also exact on the kernel's blocks — under
+    z_slim there are no z halos, so the wall-face diffusive flux is
+    zeroed explicitly (``_diffusion_block``), which equals the XLA
+    mirror-fill path bit-for-bit ONLY for zero-gradient (flux/None) z
+    walls; Value/Gradient z walls keep the XLA-side diffusion."""
+    from ..grids.topology import BOUNDED
+    from .fused_hydrostatic import kernel_closure
+    cl = kernel_closure(model)
+    if cl is None:
+        return None
+    if cl.vertically_implicit:
+        return cl  # vertical handled by the operator-split solve
+    if model.grid.topology[2] is BOUNDED:
+        for name in model.prognostic_names():
+            for side in ("bottom", "top"):
+                bc = getattr(model.bcs[name], side)
+                if bc is not None and bc.kind not in ("flux",) \
+                        and not (name == "w" and bc.kind == "open"
+                                 and not callable(bc.value)
+                                 and float(bc.value or 0.0) == 0.0):
+                    return None
+    return cl
+
+
+def _diffusion_block(c, cg, loc, kh, kz, z_bounded, z_slim, vertical):
+    """``div_kappa_grad``'s exact expression tree on a kernel block
+    (closures/scalar_diffusivity.py:110-145, reference
+    abstract_scalar_diffusivity_closure.jl ∇·(κ∇c)). Under z_slim +
+    bounded z, c carries no z ghosts: for z-at-C fields the wall-face
+    vertical flux (slim face 0, and face nz ≡ wrap-to-0) is zeroed by
+    concatenation — bit-equal to the XLA path's zero-gradient mirror
+    ghost, whose wall flux is κ(c_ghost − c_wall-cell) ≡ exact 0. w
+    (z-at-F) needs no fix-up: both walls carry the same imposed 0, so
+    the wrap reads the right value."""
+    from ..ops import operators as op
+    from ..utils.location import C as _C
+    fx = cg.Ax(op.flip_loc(loc, 0)) * (kh * op.dd(c, cg, 0, loc))
+    fy = cg.Ay(op.flip_loc(loc, 1)) * (kh * op.dd(c, cg, 1, loc))
+    out = (op.delta(fx, 0, op.flip_loc(loc, 0))
+           + op.delta(fy, 1, op.flip_loc(loc, 1)))
+    if vertical:
+        fz = cg.Az(op.flip_loc(loc, 2)) * (kz * op.dd(c, cg, 2, loc))
+        if z_slim and z_bounded and loc[2] is _C:
+            fz = jax.lax.concatenate(
+                [jnp.zeros_like(fz[:, :, :1]), fz[:, :, 1:]], 2)
+        out = out + op.delta(fz, 2, op.flip_loc(loc, 2))
+    return out / cg.V(loc)
 
 
 def fused_ab2_advance(model, state, dt, euler, interpret=None):
@@ -125,6 +178,13 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     # object is rebuilt in-kernel, exactly like the hydrostatic kernel
     cor_leaves, cor_treedef = jax.tree_util.tree_flatten(cor)
     cor_smem = [jnp.asarray(l, grid.dtype).reshape(1, 1) for l in cor_leaves]
+    # kernel-expressible closure (gate: _step_kernel_closure) — same SMEM
+    # treatment; its explicit diffusion runs on the blocks
+    kcl = _step_kernel_closure(model) if model.closure is not None else None
+    cl_leaves, cl_treedef = jax.tree_util.tree_flatten(kcl)
+    cl_smem = [jnp.asarray(l, grid.dtype).reshape(1, 1) for l in cl_leaves]
+    from ..grids.topology import BOUNDED
+    z_bounded = grid.topology[2] is BOUNDED
 
     has_ph = model.buoyancy is not None and "pHY" in state
     dxu = pack.scalars[("dx", F, C)]
@@ -167,6 +227,8 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     def kernel(c1_ref, c2_ref, dt_ref, *refs):
         cor_refs = refs[:len(cor_smem)]
         refs = refs[len(cor_smem):]
+        cl_refs = refs[:len(cl_smem)]
+        refs = refs[len(cl_smem):]
         if has_pack:
             pack_ref, refs = refs[0], refs[1:]
         # under z_slim the field blocks carry nz lanes; slice the pack
@@ -203,9 +265,29 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
             if has_ph:
                 G[0] = G[0] - st.dxf(ph_b) / dxu
                 G[1] = G[1] - st.dyf(ph_b) / dyv
+            if kcl is not None:
+                # explicit ν∇²: same position in the term order as the
+                # jnp path (advection → coriolis → pHY′ → diffusion)
+                cl_k = jax.tree_util.tree_unflatten(
+                    cl_treedef, [r[0, 0] for r in cl_refs])
+                nu = cl_k.nu
+                nu_z = cl_k.nu_z if cl_k.nu_z is not None else cl_k.nu
+                vert = not kcl.vertically_implicit
+                G[0] = G[0] + _diffusion_block(ub, cg, U_LOC, nu, nu_z,
+                                               z_bounded, z_slim, vert)
+                G[1] = G[1] + _diffusion_block(vb, cg, V_LOC, nu, nu_z,
+                                               z_bounded, z_slim, vert)
+                G[2] = G[2] + _diffusion_block(wb, cg, W_LOC, nu, nu_z,
+                                               z_bounded, z_slim, vert)
             for k in range(len(names)):
-                G.append(-div_Uc(cg, tracer_scheme, ub, vb, wb,
-                                 _zslim_in(prog[3 + k][:], hz, zk)))
+                cb = _zslim_in(prog[3 + k][:], hz, zk)
+                Gc = -div_Uc(cg, tracer_scheme, ub, vb, wb, cb)
+                if kcl is not None:
+                    kap = cl_k.kappa_for(names[k])
+                    kap_z = cl_k.kappa_z_for(names[k])
+                    Gc = Gc + _diffusion_block(cb, cg, CENTER, kap, kap_z,
+                                               z_bounded, z_slim, vert)
+                G.append(Gc)
         probs = [ub, vb, wb] + [_zslim_in(prog[3 + k][:], hz, zk)
                                 for k in range(len(names))]
         for k in range(nfields):
@@ -235,14 +317,14 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
     outs = pl.pallas_call(
         kernel,
         grid=(nx // tx, ny // ty),
-        in_specs=([smem] * (3 + len(cor_smem))
+        in_specs=([smem] * (3 + len(cor_smem) + len(cl_smem))
                   + ([pack_win] if has_pack else [])
                   + [win] * len(inputs) + [gp_win] * nfields),
         out_specs=[out_spec] * (2 * nfields),
         out_shape=[out_shape] * (2 * nfields),
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
-    )(c1, c2, dts, *cor_smem,
+    )(c1, c2, dts, *cor_smem, *cl_smem,
       *(([pack.pack] if has_pack else []) + inputs),
       *[G_prev[n] for n in field_names])
 

@@ -337,3 +337,73 @@ def test_fused_ab2_step_with_coriolis_bitwise(cor):
                        for k, v in s["solution"].items()}
     for k in sols[True]:
         assert np.array_equal(sols[True][k], sols[False][k]), k
+
+
+@pytest.mark.parametrize("td,zspec", [
+    ("explicit", "regular"), ("vertically_implicit", "regular"),
+    ("explicit", "stretched")])
+def test_fused_ab2_step_with_scalar_diffusivity(td, zspec):
+    """Constant-coefficient ScalarDiffusivity folded INTO the fused AB2
+    advance (_step_kernel_closure/_diffusion_block): full steps match the
+    plain path. Covers the z_slim wall-face flux zeroing (regular z — the
+    blocks carry no z ghosts, the wall flux is reconstructed as the exact
+    0 the XLA mirror fill produces) and the full-z-window stretched path.
+    Reference: the GPU tendency kernel adds ∂ⱼτᵢⱼ in the same launch
+    (nonhydrostatic_tendency_kernel_functions.jl:66-74)."""
+    from clima_oceananigans_jl_tpu import ScalarDiffusivity
+    from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
+    from clima_oceananigans_jl_tpu.coriolis.coriolis import FPlane
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+
+    z = ((-1.0, 0.0) if zspec == "regular"
+         else [-100.0 * (1 - (k / 8.0) ** 1.6) for k in range(9)])
+    cl = ScalarDiffusivity(nu=1e-3, kappa={"c": 1e-4},
+                           time_discretization=td)
+    sols = {}
+    for fused in (True, False):
+        grid = RectilinearGrid(size=(16, 16, 8), x=(0, 1.), y=(0, 1.), z=z,
+                               topology=(PERIODIC, PERIODIC, BOUNDED),
+                               dtype=jnp.float64)
+        m = NonhydrostaticModel(grid, advection=WENO5(),
+                                buoyancy=BuoyancyTracer(), tracers=("c",),
+                                closure=cl, coriolis=FPlane(f=1e-4),
+                                fused_advection=fused)
+        if fused:
+            assert m.fused_step, "closure should keep the fused-step gate open"
+        key = jax.random.PRNGKey(2)
+        ku, kv, kb = jax.random.split(key, 3)
+        s = m.initial_state(
+            u=1e-2 * jax.random.normal(ku, grid.shape, grid.dtype),
+            v=1e-2 * jax.random.normal(kv, grid.shape, grid.dtype),
+            b=1e-5 * jax.random.normal(kb, grid.shape, grid.dtype),
+            c=jax.random.normal(kb, grid.shape, grid.dtype))
+        step = jax.jit(m.step)
+        for _ in range(4):
+            s = step(s, 1e-3)
+        sols[fused] = (m, s)
+    mf, sf = sols[True]
+    mj, sj = sols[False]
+    for n in ("u", "v", "w", "b", "c"):
+        a = np.asarray(mf.grid.interior(sf["solution"][n]))
+        b = np.asarray(mj.grid.interior(sj["solution"][n]))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() <= 1e-12 * scale, n
+
+
+def test_fused_step_gate_rejects_inexpressible_closures():
+    from clima_oceananigans_jl_tpu import ScalarDiffusivity
+    from clima_oceananigans_jl_tpu.closures.eddy_viscosity import SmagorinskyLilly
+    from clima_oceananigans_jl_tpu.models.nonhydrostatic import (
+        NonhydrostaticModel)
+    grid = RectilinearGrid(size=(16, 16, 8), extent=(1., 1., 1.),
+                           topology=(PERIODIC, PERIODIC, BOUNDED),
+                           dtype=jnp.float64)
+    m = NonhydrostaticModel(grid, advection=WENO5(), closure=SmagorinskyLilly(),
+                            fused_advection=True)
+    assert not m.fused_step  # LES diffusivity fields are not kernel scalars
+    m2 = NonhydrostaticModel(grid, advection=WENO5(),
+                             closure=(ScalarDiffusivity(nu=1e-3),
+                                      ScalarDiffusivity(kappa=1e-4)),
+                             fused_advection=True)
+    assert not m2.fused_step  # closure tuples stay on the XLA path

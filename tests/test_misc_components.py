@@ -223,3 +223,49 @@ def test_tilted_gravity_buoyancy_terms():
     np.testing.assert_allclose(np.asarray(gg.interior(G["u"])),
                                math.sin(theta) * b0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gg.interior(G["v"])), 0.0, atol=1e-12)
+
+
+def test_forcing_tuples_and_advective_binding():
+    """Reference forcing regularization: a tuple of forcings per field
+    sums (two_reacting_tracers.jl), and an AdvectiveForcing binds to the
+    field it is attached to (model_forcing.jl)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from clima_oceananigans_jl_tpu import (BOUNDED, FLAT, RectilinearGrid,
+                                           WENO5)
+    from clima_oceananigans_jl_tpu.forcings.forcing import (AdvectiveForcing,
+                                                            Forcing,
+                                                            MultipleForcings)
+    from clima_oceananigans_jl_tpu.models.prescribed import (
+        PrescribedVelocityFields, PrescribedVelocityModel)
+
+    grid = RectilinearGrid(size=(1, 1, 32), x=(0, 1), y=(0, 1), z=(-1, 1),
+                           topology=(FLAT, FLAT, BOUNDED), dtype=jnp.float64)
+    m = PrescribedVelocityModel(
+        grid, PrescribedVelocityFields(), tracers=("a", "b"),
+        tracer_advection=WENO5(),
+        forcing={
+            "a": (Forcing(lambda x, y, z, t, a, b: -a * b,
+                          field_dependencies=("a", "b")),
+                  AdvectiveForcing(WENO5(), w=-0.5)),
+            "b": Forcing(lambda x, y, z, t, a, b: +a * b,
+                         field_dependencies=("a", "b")),
+        })
+    assert isinstance(m.forcing["a"], MultipleForcings)
+    assert m.forcing["a"].parts[1].field_name == "a"  # bound to its key
+    s = m.initial_state(a=lambda x, y, z: jnp.exp(-16 * z ** 2),
+                        b=lambda x, y, z: jnp.exp(-16 * (z - 0.5) ** 2))
+    tot0 = float(np.asarray(grid.interior(s["solution"]["a"])).sum()
+                 + np.asarray(grid.interior(s["solution"]["b"])).sum())
+    step = jax.jit(m.step)
+    for _ in range(20):
+        s = step(s, 1e-3)
+    a = np.asarray(grid.interior(s["solution"]["a"]))
+    b = np.asarray(grid.interior(s["solution"]["b"]))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # the antisymmetric reaction conserves a+b; the slip advection is
+    # flux-form so the only leak is the Gaussian tails' wall flux
+    # (~e^-16 of the mass)
+    tot1 = float(a.sum() + b.sum())
+    assert abs(tot1 - tot0) <= 1e-6 * abs(tot0)
