@@ -31,9 +31,12 @@ REFERENCE_PTS_PER_S = 432e6  # V100 FP32, docs/src/appendix/benchmarks.md:124
 N = int(os.environ.get("BENCH_N", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 
-# Supervisor knobs (env-tunable).
-ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "420"))
-WALL_BUDGET_S = int(os.environ.get("BENCH_WALL_BUDGET", "1800"))
+# Supervisor knobs (env-tunable). The attempt timeout must cover a COLD
+# compile through the relay's AOT helper — measured up to ~7 min on slow
+# days (r5); the persistent compilation cache (utils/compile_cache.py)
+# makes warm attempts fast, so the first attempt is the long pole.
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "700"))
+WALL_BUDGET_S = int(os.environ.get("BENCH_WALL_BUDGET", "2400"))
 RETRY_SLEEP_S = int(os.environ.get("BENCH_RETRY_SLEEP", "90"))
 
 
@@ -41,6 +44,10 @@ def measure() -> None:
     import jax
     import jax.numpy as jnp
 
+    from clima_oceananigans_jl_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()  # fused-step compiles take minutes over the
+    # relay AOT helper; cache them across processes
     from clima_oceananigans_jl_tpu import PERIODIC, BOUNDED, RectilinearGrid, WENO5
     from clima_oceananigans_jl_tpu.buoyancy.buoyancy import BuoyancyTracer
     from clima_oceananigans_jl_tpu.models.nonhydrostatic import NonhydrostaticModel

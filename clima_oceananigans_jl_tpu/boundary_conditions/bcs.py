@@ -413,14 +413,18 @@ def fill_halos(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2), perm=None):
         bcs = default_bcs(grid, loc)
     order = sorted((a for a in axes), key=lambda a: grid.topology[a] is not PERIODIC)
     pairs = ((bcs.west, bcs.east), (bcs.south, bcs.north), (bcs.bottom, bcs.top))
-    # periodic axes of 3D fields ride the in-place Pallas strip kernels
-    # on TPU (ops/fused_fill.py): the XLA slab path is correct but each
-    # dynamic-update-slice whose update reads the SAME buffer forces a
-    # defensive whole-array copy (~0.5 GB instead of ~4 MB per 256³ x+y
-    # fill). Eligibility is static (topology/alignment/ndim); values are
-    # bit-identical by construction (same wrap indices, same order).
+    # periodic axes of PERMUTED 3D fields ride the in-place Pallas strip
+    # kernels on TPU (ops/fused_fill.py). Measured policy (r5): for the
+    # NATURAL layout the XLA slab DUS alias fine and the extra kernel
+    # launches are a net LOSS (256³ nonhydrostatic: 717 M pts/s with DUS
+    # vs 670 with strip kernels), so the strip path engages only for
+    # permuted (x,z,y) state — where the x fill's leading-dim strips are
+    # cheap and measured no worse — or when CLIMA_INPLACE_FILL=1 forces
+    # it. Values are bit-identical by construction either way.
     from ..ops import fused_fill as _ff
     use_fast = (getattr(data, "ndim", 0) == 3 and _ff._use_inplace()
+                and (perm is not None
+                     or os.environ.get("CLIMA_INPLACE_FILL"))
                 and not os.environ.get("CLIMA_NO_INPLACE_FILL"))
     for axis in order:
         if (use_fast and grid.topology[axis] is PERIODIC

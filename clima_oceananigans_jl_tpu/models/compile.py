@@ -53,6 +53,8 @@ def format_state(model, state):
 def compile_step(model, state, dt=None, donate=False):
     """``(step_fn, state)``: jitted ``model.step`` with row-major layouts
     pinned at the boundary when the model's Pallas kernels need it."""
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if not _wants_pinning(model):
         fn = jax.jit(model.step, donate_argnums=0 if donate else ())
         return fn, state
