@@ -40,6 +40,16 @@ from ..timesteppers.steppers import (Clock, RK3_GAMMA, RK3_ZETA, ab2_substep,
 from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 
 
+def _implicit_noop(closure):
+    """True when ``implicit_step_fields`` is the identity for this
+    closure (static metadata — resolves at trace time)."""
+    if closure is None:
+        return True
+    if isinstance(closure, (tuple, list)):
+        return all(_implicit_noop(c) for c in closure)
+    return not getattr(closure, "vertically_implicit", False)
+
+
 def select_pressure_solver(grid):
     """Regular grid → FFT; stretched-z (regular x,y) → Fourier-tridiagonal
     (reference NonhydrostaticModels.jl:18-27); stretched x or y →
@@ -502,46 +512,54 @@ class NonhydrostaticModel:
         pNHS is stored with zero halos (diagnostic only)."""
         grid = self.grid
         if self._fast_projection_ok():
-            from ..grids.topology import BOUNDED
             sol = dict(state["solution"])
             t = state["clock"].time
-            ui = grid.interior(sol["u"])
-            vi = grid.interior(sol["v"])
-            wi = grid.interior(sol["w"])
-            ax = grid._axes
-            ddx = float(ax[0].extent) / grid.Nx
-            ddy = float(ax[1].extent) / grid.Ny
-            ddz = float(ax[2].extent) / max(grid.Nz, 1)
-            z_bounded = grid.topology[2] is BOUNDED
-            if z_bounded:
-                # impose wall-normal BC values exactly as fill_halos would
-                # (open/value kinds set the wall faces themselves)
-                bot = self._wall_plane(self.bcs["w"].bottom, 0, t)
-                top = self._wall_plane(self.bcs["w"].top, 1, t)
-                wi = wi.at[:, :, 0].set(bot)
-                top_plane = jnp.zeros_like(wi[:, :, :1]) + (
-                    top[..., None] if top.ndim else top)
-                dwdz = (jnp.concatenate([wi[:, :, 1:], top_plane], 2) - wi) / ddz
-            else:
-                dwdz = (jnp.roll(wi, -1, 2) - wi) / ddz
-            div = ((jnp.roll(ui, -1, 0) - ui) / ddx
-                   + (jnp.roll(vi, -1, 1) - vi) / ddy + dwdz)
-            phi = self.pressure_solver.solve(div / dt)
-            gx = (phi - jnp.roll(phi, 1, 0)) / ddx
-            gy = (phi - jnp.roll(phi, 1, 1)) / ddy
-            if z_bounded:
-                gz = jnp.concatenate(
-                    [jnp.zeros_like(phi[:, :, :1]),
-                     phi[:, :, 1:] - phi[:, :, :-1]], 2) / ddz
-            else:
-                gz = (phi - jnp.roll(phi, 1, 2)) / ddz
+            ui, vi, wi, phi = self._fast_project_interior(
+                grid.interior(sol["u"]), grid.interior(sol["v"]),
+                grid.interior(sol["w"]), t, dt)
             sl = tuple(slice(h, h + n) for h, n in zip(grid.halo, grid.shape))
-            sol["u"] = sol["u"].at[sl].set(ui - dt * gx)
-            sol["v"] = sol["v"].at[sl].set(vi - dt * gy)
-            sol["w"] = sol["w"].at[sl].set(wi - dt * gz)
+            sol["u"] = sol["u"].at[sl].set(ui)
+            sol["v"] = sol["v"].at[sl].set(vi)
+            sol["w"] = sol["w"].at[sl].set(wi)
             pNHS = jnp.zeros(grid.total_shape, grid.dtype).at[sl].set(phi)
             return dict(state, solution=sol, pNHS=pNHS)
         return self._project_velocities_general(state, dt)
+
+    def _fast_project_interior(self, ui, vi, wi, t, dt):
+        """The fast-path projection math on interior (Nx, Ny, Nz) views:
+        divergence and gradient-correction via periodic rolls (bounded-z
+        wall faces imposed explicitly). Returns the corrected
+        (u, v, w) interiors and φ = pNHS interior."""
+        from ..grids.topology import BOUNDED
+        grid = self.grid
+        ax = grid._axes
+        ddx = float(ax[0].extent) / grid.Nx
+        ddy = float(ax[1].extent) / grid.Ny
+        ddz = float(ax[2].extent) / max(grid.Nz, 1)
+        z_bounded = grid.topology[2] is BOUNDED
+        if z_bounded:
+            # impose wall-normal BC values exactly as fill_halos would
+            # (open/value kinds set the wall faces themselves)
+            bot = self._wall_plane(self.bcs["w"].bottom, 0, t)
+            top = self._wall_plane(self.bcs["w"].top, 1, t)
+            wi = wi.at[:, :, 0].set(bot)
+            top_plane = jnp.zeros_like(wi[:, :, :1]) + (
+                top[..., None] if top.ndim else top)
+            dwdz = (jnp.concatenate([wi[:, :, 1:], top_plane], 2) - wi) / ddz
+        else:
+            dwdz = (jnp.roll(wi, -1, 2) - wi) / ddz
+        div = ((jnp.roll(ui, -1, 0) - ui) / ddx
+               + (jnp.roll(vi, -1, 1) - vi) / ddy + dwdz)
+        phi = self.pressure_solver.solve(div / dt)
+        gx = (phi - jnp.roll(phi, 1, 0)) / ddx
+        gy = (phi - jnp.roll(phi, 1, 1)) / ddy
+        if z_bounded:
+            gz = jnp.concatenate(
+                [jnp.zeros_like(phi[:, :, :1]),
+                 phi[:, :, 1:] - phi[:, :, :-1]], 2) / ddz
+        else:
+            gz = (phi - jnp.roll(phi, 1, 2)) / ddz
+        return ui - dt * gx, vi - dt * gy, wi - dt * gz, phi
 
     def _project_velocities_general(self, state, dt):
         """General path (bounded/stretched x-y, distributed, immersed):
@@ -617,6 +635,7 @@ class NonhydrostaticModel:
             pad = tuple((h, h) for h in self.grid.halo)
             state = dict(state, G_prev={k: jnp.pad(v, pad)
                                         for k, v in state["G_prev"].items()})
+        projected = False
         if getattr(self, "halo_overlap", False):
             G, state = self.tendencies_overlapped(state)
             sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
@@ -632,16 +651,34 @@ class NonhydrostaticModel:
             # slice copies overlap the FFT matmuls, while extra fills
             # serialize — keep the roll-based fast projection.
             from ..ops.fused_step import fused_ab2_advance
-            sol, G = fused_ab2_advance(self, state, dt, euler)
+            # interior fast lane: when the implicit solve is a no-op and
+            # the roll-based projection applies, keep u/v/w as kernel
+            # interiors through the projection and pad ONCE at the end —
+            # skips the pad→interior-slice→.at[sl].set round trip
+            # (~0.9 GB/step at 256³ fp32).
+            interior = (self.g_interior and self._fast_projection_ok()
+                        and _implicit_noop(self.closure))
+            sol, G = fused_ab2_advance(self, state, dt, euler,
+                                       interior_velocities=interior)
+            if interior:
+                ui, vi, wi, phi = self._fast_project_interior(
+                    sol["u"], sol["v"], sol["w"], clock0.time, dt)
+                pad = tuple((h, h) for h in self.grid.halo)
+                sol = dict(sol, u=jnp.pad(ui, pad), v=jnp.pad(vi, pad),
+                           w=jnp.pad(wi, pad))
+                state = dict(state, solution=sol, pNHS=jnp.pad(phi, pad))
+                projected = True
         else:
             G = self.tendencies(state)
             sol = ab2_substep(state["solution"], G, state["G_prev"], dt,
                               self.ab2_chi, euler)
-        sol = implicit_step_fields(sol, self.grid, self._locs(), self.closure,
-                                   dt, state.get("diffusivities"),
-                                   self.bcs, clock0.time)
-        state = dict(state, solution=sol)
-        state = self.project_velocities(state, dt)
+        if not projected:
+            sol = implicit_step_fields(sol, self.grid, self._locs(),
+                                       self.closure, dt,
+                                       state.get("diffusivities"),
+                                       self.bcs, clock0.time)
+            state = dict(state, solution=sol)
+            state = self.project_velocities(state, dt)
         clock = clock0.tick(dt)
         state = dict(state, clock=clock, G_prev=G,
                      previous_dt=jnp.full((), 1.0, self.grid.dtype) * dt)

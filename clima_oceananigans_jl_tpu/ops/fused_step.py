@@ -121,14 +121,21 @@ def _diffusion_block(c, cg, loc, kh, kz, z_bounded, z_slim, vertical):
     return out / cg.V(loc)
 
 
-def fused_ab2_advance(model, state, dt, euler, interpret=None):
+def fused_ab2_advance(model, state, dt, euler, interpret=None,
+                      interior_velocities=False):
     """One fused pass: returns (sol_new, G) — sol_new as with-halo arrays
     (x/y halo regions zeroed — the caller's update_state refills them),
     and G in the layout of ``state["G_prev"]``: HALO-FREE (nx, ny, nz)
     under z_slim (the kernel only ever reads G_prev interiors, so storing
     halos costs a ~0.6 GB/step jnp.pad plus ~55% halo-window DMA
     amplification on the G_prev reads, for nothing), with-halo otherwise.
-    Bit-compatible with tendencies() + ab2_substep() on the interior."""
+    Bit-compatible with tendencies() + ab2_substep() on the interior.
+
+    ``interior_velocities=True`` (z_slim callers only) returns u/v/w as
+    the RAW kernel interiors (nx, ny, nz) instead of padding them — the
+    model's fast roll-based projection consumes interiors directly and
+    pads ONCE after the correction, saving the pad→interior-slice→
+    ``.at[sl].set`` round trip (~0.9 GB of streaming at 256³ fp32)."""
     from ..advection.schemes import reduced_order_masks
     from ..advection.fluxes import div_Uc, div_vu, div_vv, div_vw
 
@@ -328,8 +335,13 @@ def fused_ab2_advance(model, state, dt, euler, interpret=None):
       *(([pack.pack] if has_pack else []) + inputs),
       *[G_prev[n] for n in field_names])
 
+    if interior_velocities and not z_slim:
+        raise ValueError("interior_velocities requires the z_slim kernel "
+                         "(the caller gates on model.g_interior)")
     pad = ((hx, hx), (hy, hy), (hz, hz) if z_slim else (0, 0))
-    sol_new = {n: jnp.pad(outs[k], pad) for k, n in enumerate(field_names)}
+    sol_new = {n: (outs[k] if interior_velocities and n in ("u", "v", "w")
+                   else jnp.pad(outs[k], pad))
+               for k, n in enumerate(field_names)}
     if g_interior:
         G = {n: outs[nfields + k] for k, n in enumerate(field_names)}
     else:
