@@ -191,49 +191,61 @@ class WENO5(AdvectionScheme):
         weights use the MEAN Jiang-Shu smoothness of the ``smooths``
         fields instead of ``c``'s own — the reference's VelocityStencil
         (weno_fifth_order.jl:405-440: βₖ = ½(βₖ(ℑy u) + βₖ(ℑx v)) while
-        the candidate polynomials reconstruct the vorticity)."""
+        the candidate polynomials reconstruct the vorticity). Built on
+        ``stream_reconstruct_smooth`` (the right-biased formulas are the
+        left ones on the reflected streams), so the vector-invariant
+        select-first path is bit-identical to this two-sided form."""
         s = lambda a, n: shift(a, n, axis)
 
-        def betas(v, left):
-            if left:
-                vm3, vm2, vm1, v0, vp1 = s(v, -3), s(v, -2), s(v, -1), v, s(v, 1)
-            else:
-                vm3, vm2, vm1, v0, vp1 = s(v, 2), s(v, 1), v, s(v, -1), s(v, -2)
-            b0 = ((13.0 / 12.0) * (vm3 - 2 * vm2 + vm1) ** 2
-                  + 0.25 * (vm3 - 4 * vm2 + 3 * vm1) ** 2)
-            b1 = ((13.0 / 12.0) * (vm2 - 2 * vm1 + v0) ** 2
-                  + 0.25 * (vm2 - v0) ** 2)
-            b2 = ((13.0 / 12.0) * (vm1 - 2 * v0 + vp1) ** 2
-                  + 0.25 * (3 * vm1 - 4 * v0 + vp1) ** 2)
-            return b0, b1, b2
+        def stream(v, left):
+            # left: cells i−3..i+1 at face i; right: the reflection
+            # (−3,−2,−1,0,1) → (2,1,0,−1,−2)
+            return ((s(v, -3), s(v, -2), s(v, -1), v, s(v, 1)) if left
+                    else (s(v, 2), s(v, 1), v, s(v, -1), s(v, -2)))
 
-        def cands(v, left):
-            # the right-biased formulas are the left ones under the index
-            # reflection (−3,−2,−1,0,1) → (2,1,0,−1,−2), same as betas
-            if left:
-                vm3, vm2, vm1, v0, vp1 = s(v, -3), s(v, -2), s(v, -1), v, s(v, 1)
-            else:
-                vm3, vm2, vm1, v0, vp1 = s(v, 2), s(v, 1), v, s(v, -1), s(v, -2)
-            p0 = (2.0 * vm3 - 7.0 * vm2 + 11.0 * vm1) / 6.0
-            p1 = (-vm2 + 5.0 * vm1 + 2.0 * v0) / 6.0
-            p2 = (2.0 * vm1 + 5.0 * v0 - vp1) / 6.0
-            return p0, p1, p2
-
-        out = []
-        for left in (True, False):
-            bs = [betas(f, left) for f in smooths]
-            b0 = sum(b[0] for b in bs) / len(bs)
-            b1 = sum(b[1] for b in bs) / len(bs)
-            b2 = sum(b[2] for b in bs) / len(bs)
-            p0, p1, p2 = cands(c, left)
-            out.append(self._combine(p0, p1, p2, b0, b1, b2))
-        return out[0], out[1]
+        return tuple(
+            self.stream_reconstruct_smooth(
+                stream(c, left), [stream(f, left) for f in smooths])
+            for left in (True, False))
 
     def lr_to_c_smooth(self, c, smooths, axis):
         """Face-located data reconstructed onto centers (shift-by-one of
         the to-faces formulas, like left_right_to_c)."""
         L, R = self.lr_to_f_smooth(c, smooths, axis)
         return shift(L, 1, axis), shift(R, 1, axis)
+
+    def stream_reconstruct_smooth(self, a, smooth_streams):
+        """Left-biased reconstruction of an upwind-ORDERED candidate
+        stream ``a`` whose nonlinear weights use the MEAN Jiang-Shu
+        smoothness of the upwind-ordered ``smooth_streams`` (the
+        VelocityStencil of ``lr_to_f_smooth``, reference
+        weno_fifth_order.jl:405-440). Same symmetry argument as
+        ``stream_reconstruct``: the right-biased formulas are exactly
+        the left ones on the reflected streams (candidates AND
+        smoothness — the indicators square every reflected term), so
+        feeding sign-selected streams through one evaluation reproduces
+        the same-form two-sided upwind product bit-for-bit (and
+        ``lr_to_f_smooth``'s explicit-form blend to fp reassociation)
+        at ~half the VPU work of evaluating both sides
+        (tests/test_advection.py equivalence tests)."""
+        a0, a1, a2, a3, a4 = a
+        d10, d11, d12, d13 = a1 - a0, a2 - a1, a3 - a2, a4 - a3
+        p0 = a2 + (5.0 * d11 - 2.0 * d10) / 6.0
+        p1 = a2 + (2.0 * d12 + d11) / 6.0
+        p2 = a2 + (4.0 * d12 - d13) / 6.0
+        bs = []
+        for v in smooth_streams:
+            v0, v1, v2, v3, v4 = v
+            e10, e11, e12, e13 = v1 - v0, v2 - v1, v3 - v2, v4 - v3
+            e20, e21, e22 = e11 - e10, e12 - e11, e13 - e12
+            bs.append((
+                (13.0 / 12.0) * e20 * e20 + 0.25 * (e20 + 2.0 * e11) ** 2,
+                (13.0 / 12.0) * e21 * e21 + 0.25 * (e11 + e12) ** 2,
+                (13.0 / 12.0) * e22 * e22 + 0.25 * (e22 - 2.0 * e12) ** 2))
+        b0 = sum(b[0] for b in bs) / len(bs)
+        b1 = sum(b[1] for b in bs) / len(bs)
+        b2 = sum(b[2] for b in bs) / len(bs)
+        return self._combine(p0, p1, p2, b0, b1, b2)
 
     def _nl_weights(self, b0, b1, b2, d=(0.1, 0.6, 0.3)):
         """Un-normalized nonlinear weights gk = dk Π_{j≠k}(βj+ε)² — the

@@ -48,16 +48,22 @@ class VectorInvariant:
         if self.scheme == "energy":
             vort = -st.iyc(zeta * st.ixf(dx_v)) / grid.dx(U_LOC)
         elif self.scheme in ("weno", "weno_velocity"):
-            from .schemes import upwind_biased_product
+            from .schemes import upwind_stream
             wn = self._weno()
             v_hat = st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
+            # select-first upwinding (see schemes.transport): pick the
+            # upwind stencil streams by sign(v̂), reconstruct ONCE —
+            # vel·where(sel, L, R) ≡ ((vel+|vel|)L + (vel−|vel|)R)/2 in
+            # IEEE arithmetic at ~half the reconstruction VPU work
+            sel = v_hat >= 0
+            az = upwind_stream(zeta, sel, 1, False)
             if self.scheme == "weno_velocity":
                 smooths = (st.iyf(u), st.ixf(v))  # tangential vels at (F,F)
-                zl, zr = wn.lr_to_c_smooth(zeta, smooths, 1)
+                ss = [upwind_stream(f, sel, 1, False) for f in smooths]
+                rec = wn.stream_reconstruct_smooth(az, ss)
             else:
-                zl = wn.left_to_c(zeta, 1)  # ζ reconstructed to (F,C) along y
-                zr = wn.right_to_c(zeta, 1)
-            vort = -upwind_biased_product(v_hat, zl, zr)
+                rec = wn.stream_reconstruct(az)  # ζ's own smoothness
+            vort = -v_hat * rec
         else:  # enstrophy conserving
             vort = -st.iyc(zeta) * st.ixf(st.iyc(dx_v)) / grid.dx(U_LOC)
         # vertical advection: ℑzᶜ( ℑxᶠ(Az w) ∂zᶠᶜᶠ u ) / Azᶠᶜᶜ
@@ -76,16 +82,18 @@ class VectorInvariant:
         if self.scheme == "energy":
             vort = st.ixc(zeta * st.iyf(dy_u)) / grid.dy(V_LOC)
         elif self.scheme in ("weno", "weno_velocity"):
-            from .schemes import upwind_biased_product
+            from .schemes import upwind_stream
             wn = self._weno()
             u_hat = st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)
+            sel = u_hat >= 0
+            az = upwind_stream(zeta, sel, 0, False)
             if self.scheme == "weno_velocity":
                 smooths = (st.iyf(u), st.ixf(v))
-                zl, zr = wn.lr_to_c_smooth(zeta, smooths, 0)
+                ss = [upwind_stream(f, sel, 0, False) for f in smooths]
+                rec = wn.stream_reconstruct_smooth(az, ss)
             else:
-                zl = wn.left_to_c(zeta, 0)  # ζ reconstructed to (C,F) along x
-                zr = wn.right_to_c(zeta, 0)
-            vort = upwind_biased_product(u_hat, zl, zr)
+                rec = wn.stream_reconstruct(az)  # ζ's own smoothness
+            vort = u_hat * rec
         else:
             vort = st.ixc(zeta) * st.iyf(st.ixc(dy_u)) / grid.dy(V_LOC)
         az_w = grid.Az((C, C, F)) * w

@@ -148,6 +148,17 @@ def _vertical_coefficient(closure, name, diffusivities):
     return closure.kappa_z_for(name)
 
 
+def implicit_step_is_noop(closure):
+    """True when ``implicit_step_fields`` is the identity for this
+    closure (static metadata — resolves at trace time). Used by the
+    models' interior fast lanes to skip the solve entirely."""
+    if closure is None:
+        return True
+    if isinstance(closure, (tuple, list)):
+        return all(implicit_step_is_noop(c) for c in closure)
+    return not getattr(closure, "vertically_implicit", False)
+
+
 def implicit_step_fields(solution, grid, locs, closure, dt, diffusivities=None,
                          bcs=None, t=0.0):
     """Apply the implicit vertical solve to every prognostic field

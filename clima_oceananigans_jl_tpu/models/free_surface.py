@@ -374,3 +374,21 @@ class SplitExplicitFreeSurface:
             du = jnp.transpose(du, perm)
             dv = jnp.transpose(dv, perm)
         return u + du, v + dv
+
+    def corrector_interior(self, grid, ui, vi, U_av, V_av, perm=None):
+        """``corrector`` on x/y-INTERIOR arrays (full-z windows, the
+        fused-advance output layout): identical arithmetic on the
+        interior points — the depth integral reads only interior z, and
+        du at interior x/y reads only interior U̅/H — without the
+        pad→full-array round trip (the fused hydrostatic step pads ONCE
+        after this correction)."""
+        Hfc, Hcf = column_depths(grid)
+        sl = (slice(grid.Hx, grid.Hx + grid.Nx),
+              slice(grid.Hy, grid.Hy + grid.Ny))
+        U, V = barotropic_mode(grid, ui, vi, perm=perm)
+        du = (U_av[sl] - U) / Hfc[sl]
+        dv = (V_av[sl] - V) / Hcf[sl]
+        if perm is not None:
+            du = jnp.transpose(du, perm)
+            dv = jnp.transpose(dv, perm)
+        return ui + du, vi + dv

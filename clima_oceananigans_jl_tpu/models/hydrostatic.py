@@ -612,7 +612,14 @@ class HydrostaticFreeSurfaceModel:
         euler = (clock0.iteration == 0) | (jnp.abs(state["previous_dt"] - dt) > 1e-14)
         chi = jnp.where(euler, -0.5, self.ab2_chi)
 
+        from ..closures.implicit_vertical_diffusion import implicit_step_is_noop
         fadv = self.fused_advance and not getattr(self, "halo_overlap", False)
+        # interior fast lane (split-explicit only): when the implicit
+        # solve is a no-op, u/v stay as fused-kernel x/y-interiors
+        # through the barotropic corrector and are padded ONCE after it —
+        # skips the pad→full-corrector round trip (~0.6 GB/step at ¼°)
+        int_corr = (fadv and isinstance(fs, SplitExplicitFreeSurface)
+                    and implicit_step_is_noop(self.closure))
         if getattr(self, "halo_overlap", False):
             G, state = self.tendencies_overlapped(state)
         elif fadv:
@@ -623,8 +630,9 @@ class HydrostaticFreeSurfaceModel:
             from ..ops.fused_hydrostatic import fused_hydrostatic_tendencies
             stepped_f, G = fused_hydrostatic_tendencies(
                 self, state, advance=(dt, euler))
-            stepped_f = {n: jnp.pad(a, self._int_pad())
-                         for n, a in stepped_f.items()}
+            if not int_corr:
+                stepped_f = {n: jnp.pad(a, self._int_pad())
+                             for n, a in stepped_f.items()}
         else:
             G = self.tendencies(state)
         G_prev = state["G_prev"]
@@ -663,14 +671,25 @@ class HydrostaticFreeSurfaceModel:
             else:
                 stepped = ab2_substep(state["solution"], G, G_prev, dt,
                                       self.ab2_chi, euler)
-            sol = implicit_step_fields(stepped, grid, self._locs(), self.closure,
-                                       dt, state.get("diffusivities"),
-                                       self.bcs, clock0.time)
             eta, U_av, V_av = fs.substep_eta(grid, self.eta_bcs, state["eta"],
                                              GU, GV, U0, V0, dt)
-            u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av,
-                                perm=self._perm)
-            sol = dict(sol, u=u, v=v)
+            if int_corr:
+                # u/v are still kernel interiors; correct them in place
+                # and pad once (implicit solve is a no-op — gated above)
+                u, v = fs.corrector_interior(grid, stepped["u"], stepped["v"],
+                                             U_av, V_av, perm=self._perm)
+                pad = self._int_pad()
+                sol = {n: jnp.pad(a, pad) for n, a in stepped.items()
+                       if n not in ("u", "v")}
+                sol["u"], sol["v"] = jnp.pad(u, pad), jnp.pad(v, pad)
+            else:
+                sol = implicit_step_fields(stepped, grid, self._locs(),
+                                           self.closure, dt,
+                                           state.get("diffusivities"),
+                                           self.bcs, clock0.time)
+                u, v = fs.corrector(grid, sol["u"], sol["v"], U_av, V_av,
+                                    perm=self._perm)
+                sol = dict(sol, u=u, v=v)
             new_state = dict(state, solution=sol, eta=eta, G_prev=G)
 
         else:  # ImplicitFreeSurface

@@ -40,16 +40,6 @@ from ..timesteppers.steppers import (Clock, RK3_GAMMA, RK3_ZETA, ab2_substep,
 from ..utils.location import C, CENTER, F, U_LOC, V_LOC, W_LOC
 
 
-def _implicit_noop(closure):
-    """True when ``implicit_step_fields`` is the identity for this
-    closure (static metadata — resolves at trace time)."""
-    if closure is None:
-        return True
-    if isinstance(closure, (tuple, list)):
-        return all(_implicit_noop(c) for c in closure)
-    return not getattr(closure, "vertically_implicit", False)
-
-
 def select_pressure_solver(grid):
     """Regular grid → FFT; stretched-z (regular x,y) → Fourier-tridiagonal
     (reference NonhydrostaticModels.jl:18-27); stretched x or y →
@@ -656,8 +646,10 @@ class NonhydrostaticModel:
             # interiors through the projection and pad ONCE at the end —
             # skips the pad→interior-slice→.at[sl].set round trip
             # (~0.9 GB/step at 256³ fp32).
+            from ..closures.implicit_vertical_diffusion import (
+                implicit_step_is_noop)
             interior = (self.g_interior and self._fast_projection_ok()
-                        and _implicit_noop(self.closure))
+                        and implicit_step_is_noop(self.closure))
             sol, G = fused_ab2_advance(self, state, dt, euler,
                                        interior_velocities=interior)
             if interior:

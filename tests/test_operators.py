@@ -133,3 +133,36 @@ def test_upwind_select_matches_two_sided_blend_bitwise():
                     old = upwind_biased_product(vel, L, R)
                     assert np.array_equal(np.asarray(new), np.asarray(old)), (
                         dtype, type(sch).__name__, axis, to_f)
+
+
+def test_vector_invariant_select_first_matches_two_sided_bitwise():
+    """The WENOVectorInvariant vorticity term's select-first upwinding
+    (one sign-selected stream through stream_reconstruct[_smooth]) must
+    reproduce the two-sided blend upwind_biased_product(v̂, L, R) with
+    L/R from lr_to_c_smooth / left_right-style evaluation BIT-FOR-BIT
+    (vector_invariant.py U_dot_grad_u/v)."""
+    from clima_oceananigans_jl_tpu.advection.schemes import (
+        WENO5, upwind_biased_product, upwind_stream, shift)
+    rng = np.random.default_rng(11)
+    wn = WENO5()
+    for dtype in (jnp.float64, jnp.float32):
+        zeta = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        su = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        sv = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        vel = jnp.asarray(rng.normal(size=(18, 16, 14)), dtype)
+        for axis in (0, 1):
+            sel = vel >= 0
+            # VelocityStencil (mean tangential-velocity smoothness)
+            az = upwind_stream(zeta, sel, axis, False)
+            ss = [upwind_stream(f, sel, axis, False) for f in (su, sv)]
+            new = vel * wn.stream_reconstruct_smooth(az, ss)
+            zl, zr = wn.lr_to_c_smooth(zeta, (su, sv), axis)
+            old = upwind_biased_product(vel, zl, zr)
+            assert np.array_equal(np.asarray(new), np.asarray(old)), (
+                dtype, "velocity", axis)
+            # VorticityStencil (ζ's own smoothness)
+            new_v = vel * wn.stream_reconstruct(az)
+            Lv, Rv = wn.left_right_to_c(zeta, axis)
+            old_v = upwind_biased_product(vel, Lv, Rv)
+            assert np.array_equal(np.asarray(new_v), np.asarray(old_v)), (
+                dtype, "vorticity", axis)
