@@ -19,6 +19,7 @@ All free-surface state (η, U̅, …) are with-halo ``(X, Y, 1)`` arrays.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +338,23 @@ class SplitExplicitFreeSurface:
         msq = (lambda m: m[..., 0] if getattr(m, "ndim", 0) == 3 else m) \
             if squeeze else (lambda m: m)
         eta0, U0, V0, GU, GV = map(sq, (eta0, U0, V0, GU, GV))
+
+        # whole-loop Pallas kernel: all N substeps VMEM-resident in ONE
+        # call (ops/fused_barotropic.py; bit-identical by construction).
+        # OPT-IN (CLIMA_FUSED_BAROTROPIC=1) until the Mosaic lowering of
+        # the large-vector loop carries is validated on real TPU — the
+        # XLA fori_loop is the default/portable path.
+        from ..ops import fused_barotropic as _fb
+        interpret = bool(os.environ.get("CLIMA_FUSED_BAROTROPIC_INTERPRET"))
+        if (squeeze and not os.environ.get("CLIMA_NO_FUSED_BAROTROPIC")
+                and (interpret
+                     or (os.environ.get("CLIMA_FUSED_BAROTROPIC")
+                         and jax.default_backend() == "tpu"))
+                and _fb.fused_substep_ok(grid, eta_bcs)):
+            eta_av, U_av, V_av = _fb.fused_substep_eta(
+                grid, eta_bcs, eta0, U0, V0, GU, GV, Hfc, Hcf,
+                g, dtau, wv, wf, n, interpret=interpret or None)
+            return eta_av[:, :, None], U_av[:, :, None], V_av[:, :, None]
         Hfc, Hcf = sq(Hfc), sq(Hcf)
         dxu, dyv = msq(grid.dx(U_LOC)), msq(grid.dy(V_LOC))
         dyu, dxv = msq(grid.dy(U_LOC)), msq(grid.dx(V_LOC))
