@@ -69,8 +69,15 @@ def bench(name, fn, *args):
 perm = model._perm
 print("state_layout:", model.state_layout, flush=True)
 G = bench("tendencies (fused)", model.tendencies, state)
+if G["u"].shape != state["solution"]["u"].shape:
+    # fused-advance models keep G x/y-interior; pad for the manual
+    # XLA-substep stage (the real step never pays this)
+    G = {k: jnp.pad(v, model._int_pad()) for k, v in G.items()}
 sol = bench("ab2_substep",
-            lambda s, G: ab2_substep(s["solution"], G, s["G_prev"],
+            lambda s, G: ab2_substep(s["solution"], G, s["G_prev"] if
+                                     s["G_prev"]["u"].shape == G["u"].shape
+                                     else {k: jnp.pad(v, model._int_pad())
+                                           for k, v in s["G_prev"].items()},
                                      dt, model.ab2_chi, False), state, G)
 bench("barotropic_mode x2",
       lambda s: barotropic_mode(g, s["solution"]["u"], s["solution"]["v"],

@@ -67,6 +67,13 @@ def compile_step(model, state, dt=None, donate=False):
     out_sh = jax.tree_util.tree_map(
         lambda s: fmt if len(s.shape) == 3 else plain,
         jax.eval_shape(model.step, state, dt))
+    # pin the ENTRY layouts too: with only out_shardings pinned, XLA
+    # auto-chooses the entry layouts, and when its choice differs from
+    # the row-major arrays the previous step produced, every call pays a
+    # relayout of the whole donated state — measured catastrophically
+    # slow through the axon relay (seconds/step at ¼°; plain jit 35 ms)
+    in_sh = jax.tree_util.tree_map(
+        lambda x: fmt if getattr(x, "ndim", 0) == 3 else plain, state)
     fn = jax.jit(model.step, donate_argnums=0 if donate else (),
-                 out_shardings=out_sh)
+                 in_shardings=(in_sh, plain), out_shardings=out_sh)
     return fn, state
