@@ -227,7 +227,7 @@ class WENO5(AdvectionScheme):
         the same-form two-sided upwind product bit-for-bit (and
         ``lr_to_f_smooth``'s explicit-form blend to fp reassociation)
         at ~half the VPU work of evaluating both sides
-        (tests/test_advection.py equivalence tests)."""
+        (tests/test_operators.py equivalence tests)."""
         a0, a1, a2, a3, a4 = a
         d10, d11, d12, d13 = a1 - a0, a2 - a1, a3 - a2, a4 - a3
         p0 = a2 + (5.0 * d11 - 2.0 * d10) / 6.0
@@ -332,7 +332,7 @@ class WENO5(AdvectionScheme):
         the smoothness indicators square every reflected term), feeding
         the sign-selected stream through this single evaluation
         reproduces the two-sided upwind flux bit-for-bit at ~55% of the
-        VPU work (tests/test_advection.py upwind-select equivalence)."""
+        VPU work (tests/test_operators.py upwind-select equivalence)."""
         if self.fast_bf16:
             out = self._weno_stream(tuple(x.astype(jnp.bfloat16) for x in a))
             return out.astype(a[0].dtype)

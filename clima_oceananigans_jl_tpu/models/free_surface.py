@@ -383,14 +383,7 @@ class SplitExplicitFreeSurface:
         """u += (U̅ − ∫u dz)/H (reference barotropic_split_explicit_corrector!).
         ``perm``: u/v stored permuted (hydrostatic (x, z, y) layout); the
         2D increments are transposed to broadcast (cheap — (X, Y, 1))."""
-        Hfc, Hcf = column_depths(grid)
-        U, V = barotropic_mode(grid, u, v, perm=perm)
-        du = (U_av - U) / Hfc
-        dv = (V_av - V) / Hcf
-        if perm is not None:
-            du = jnp.transpose(du, perm)
-            dv = jnp.transpose(dv, perm)
-        return u + du, v + dv
+        return self._correct(grid, u, v, U_av, V_av, perm, None)
 
     def corrector_interior(self, grid, ui, vi, U_av, V_av, perm=None):
         """``corrector`` on x/y-INTERIOR arrays (full-z windows, the
@@ -399,13 +392,22 @@ class SplitExplicitFreeSurface:
         du at interior x/y reads only interior U̅/H — without the
         pad→full-array round trip (the fused hydrostatic step pads ONCE
         after this correction)."""
-        Hfc, Hcf = column_depths(grid)
         sl = (slice(grid.Hx, grid.Hx + grid.Nx),
               slice(grid.Hy, grid.Hy + grid.Ny))
-        U, V = barotropic_mode(grid, ui, vi, perm=perm)
-        du = (U_av[sl] - U) / Hfc[sl]
-        dv = (V_av[sl] - V) / Hcf[sl]
+        return self._correct(grid, ui, vi, U_av, V_av, perm, sl)
+
+    def _correct(self, grid, u, v, U_av, V_av, perm, sl):
+        """Shared corrector arithmetic; ``sl`` restricts the 2D factors
+        to the x/y interior (None = full with-halo arrays). Both public
+        entry points MUST stay this one expression tree — the interior
+        fast lane's bit-equality with the reference path depends on it."""
+        Hfc, Hcf = column_depths(grid)
+        U, V = barotropic_mode(grid, u, v, perm=perm)
+        if sl is not None:
+            Hfc, Hcf, U_av, V_av = (a[sl] for a in (Hfc, Hcf, U_av, V_av))
+        du = (U_av - U) / Hfc
+        dv = (V_av - V) / Hcf
         if perm is not None:
             du = jnp.transpose(du, perm)
             dv = jnp.transpose(dv, perm)
-        return ui + du, vi + dv
+        return u + du, v + dv

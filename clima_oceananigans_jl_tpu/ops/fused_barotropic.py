@@ -38,18 +38,24 @@ from ..grids.topology import FLAT, PERIODIC
 from ..utils.location import C, F
 from .fused_tendencies import _COMPILER_PARAMS
 
-#: VMEM budget for the whole working set (carries + inputs + outputs +
-#: live temporaries). The scoped-vmem ceiling is ~100 MB (fused_tendencies
-#: _VMEM_LIMIT); the loop keeps ~14 resident buffers + ~6 live temps, so
-#: cap the per-buffer footprint accordingly.
-_VMEM_BUDGET = 80_000_000
+#: VMEM budget for the whole working set. The scoped-vmem ceiling is
+#: ~100 MB (fused_tendencies _VMEM_LIMIT); the resident set is 5 field
+#: inputs + 3 outputs + 6 fori_loop carries + Hfc/Hcf + a few live
+#: fill/stencil temps ≈ 24 full buffers — the gate counts 24 against a
+#: 92 MB cap, calibrated so the hardware-validated ¼° working set
+#: (1446×608 fp32, 24 × 3.70 MB = 88.8 MB) is admitted with margin and
+#: anything meaningfully larger falls back to the XLA loop instead of
+#: risking an opaque Mosaic scoped-vmem OOM (HTTP 500 / silent hang —
+#: CLAUDE.md).
+_VMEM_BUDGET = 92_000_000
+_N_RESIDENT = 24
 
 
 def _lane_padded_bytes(shape, itemsize):
     if len(shape) == 1:
         return shape[0] * itemsize
     sub, lane = shape[-2], shape[-1]
-    return (max(sub, 8) * ((lane + 127) // 128) * 128 * itemsize
+    return (((sub + 7) // 8) * 8 * ((lane + 127) // 128) * 128 * itemsize
             * (1 if len(shape) == 2 else shape[0]))
 
 
@@ -66,7 +72,7 @@ def _mosaic_safe_bc(bc):
     return False
 
 
-def fused_substep_ok(grid, eta_bcs, n_bufs=20):
+def fused_substep_ok(grid, eta_bcs, n_bufs=_N_RESIDENT):
     """Static gate for the whole-loop kernel (see module docstring)."""
     from ..boundary_conditions.bcs import default_bcs
     from ..models.free_surface import ETA_LOC

@@ -18,7 +18,7 @@ from clima_oceananigans_jl_tpu.models.free_surface import (
 from clima_oceananigans_jl_tpu.ops import fused_barotropic as fb
 
 
-def _substep_both(grid, n=6):
+def _substep_both(grid, n=6, eta_bcs=None):
     fs = SplitExplicitFreeSurface(substeps=n)
     key = jax.random.PRNGKey(3)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -30,32 +30,45 @@ def _substep_both(grid, n=6):
     GV = 1e-3 * jax.random.normal(k5, shp, grid.dtype)
     dt = jnp.asarray(50.0, grid.dtype)
 
-    assert fb.fused_substep_ok(grid, None), "gate should admit this grid"
+    assert fb.fused_substep_ok(grid, eta_bcs), "gate should admit this config"
     os.environ["CLIMA_FUSED_BAROTROPIC_INTERPRET"] = "1"
     try:
-        out_fused = fs.substep_eta(grid, None, eta0, GU, GV, U0, V0, dt)
+        out_fused = fs.substep_eta(grid, eta_bcs, eta0, GU, GV, U0, V0, dt)
     finally:
         del os.environ["CLIMA_FUSED_BAROTROPIC_INTERPRET"]
     os.environ["CLIMA_NO_FUSED_BAROTROPIC"] = "1"
     try:
-        out_xla = fs.substep_eta(grid, None, eta0, GU, GV, U0, V0, dt)
+        out_xla = fs.substep_eta(grid, eta_bcs, eta0, GU, GV, U0, V0, dt)
     finally:
         del os.environ["CLIMA_NO_FUSED_BAROTROPIC"]
     return out_fused, out_xla
 
 
-@pytest.mark.parametrize("grid_kind", ["latlon", "rect_periodic"])
+@pytest.mark.parametrize("grid_kind", ["latlon", "rect_periodic",
+                                       "rect_bounded_xy", "latlon_value_bc"])
 def test_fused_substep_matches_xla_loop_bitwise(grid_kind):
-    if grid_kind == "latlon":
+    """Every BC/topology class the gate admits must be equivalence-
+    tested: periodic wraps, bounded zero-gradient mirrors (x AND y), and
+    the scalar Value-BC concat slab path."""
+    eta_bcs = None
+    if grid_kind.startswith("latlon"):
         zf = [-100.0 * (1 - (k / 4.0) ** 1.5) for k in range(5)]
         grid = LatitudeLongitudeGrid(size=(16, 12, 4), longitude=(0, 360),
                                      latitude=(-60, 60), z=zf,
                                      dtype=jnp.float64)
+        if grid_kind == "latlon_value_bc":
+            from clima_oceananigans_jl_tpu.boundary_conditions.bcs import (
+                FieldBCs, ValueBC)
+            eta_bcs = FieldBCs(south=ValueBC(0.25), north=ValueBC(-0.5))
+    elif grid_kind == "rect_bounded_xy":
+        grid = RectilinearGrid(size=(16, 12, 4), extent=(1e5, 1e5, 100.0),
+                               topology=(BOUNDED, BOUNDED, BOUNDED),
+                               dtype=jnp.float64)
     else:
         grid = RectilinearGrid(size=(16, 12, 4), extent=(1e5, 1e5, 100.0),
                                topology=(PERIODIC, PERIODIC, BOUNDED),
                                dtype=jnp.float64)
-    (ef, uf, vf), (ex, ux, vx) = _substep_both(grid)
+    (ef, uf, vf), (ex, ux, vx) = _substep_both(grid, eta_bcs=eta_bcs)
     for name, a, b in (("eta", ef, ex), ("U", uf, ux), ("V", vf, vx)):
         assert np.array_equal(np.asarray(a), np.asarray(b)), (
             grid_kind, name, np.abs(np.asarray(a) - np.asarray(b)).max())
