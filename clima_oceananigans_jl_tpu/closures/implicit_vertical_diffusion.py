@@ -64,6 +64,18 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
     dzc = az.dc  # cell widths (center spacing), with-halo 1D
     dzf = az.df  # center-to-center distances (face spacing), with-halo 1D
 
+    def _bands(lower, upper, shape2):
+        """Stack per-level band entries: (Nz,) 1D when every entry is a
+        z-only scalar (the solver then broadcasts per-level scalars in
+        the scan — no (X, Y, Nz) band materialization + transpose, ~6
+        full-field passes saved per solve), else (X, Y, Nz)."""
+        if all(x.ndim == 0 for x in lower + upper):
+            return jnp.stack(lower), jnp.stack(upper), True
+        return (jnp.stack([jnp.broadcast_to(x, shape2) for x in lower],
+                          axis=-1),
+                jnp.stack([jnp.broadcast_to(x, shape2) for x in upper],
+                          axis=-1), False)
+
     if loc[2] is C:
         # unknowns at cell centers k = 0..Nz−1; κ at faces k = 0..Nz
         def kap(kidx):  # κ at face kidx (logical), broadcast over (x,y)
@@ -74,10 +86,13 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
         for k in range(Nz):
             a_k = -dt * kap(k) / (dzc[Hz + k] * dzf[Hz + k]) if k > 0 else 0.0
             c_k = -dt * kap(k + 1) / (dzc[Hz + k] * dzf[Hz + k + 1]) if k < Nz - 1 else 0.0
-            lower.append(jnp.broadcast_to(jnp.asarray(a_k, data.dtype), data.shape[:2]))
-            upper.append(jnp.broadcast_to(jnp.asarray(c_k, data.dtype), data.shape[:2]))
-        a = jnp.stack(lower, axis=-1)
-        c = jnp.stack(upper, axis=-1)
+            lower.append(jnp.asarray(a_k, data.dtype))
+            upper.append(jnp.asarray(c_k, data.dtype))
+        a, c, bands_1d = _bands(lower, upper, data.shape[:2])
+        if linear_coeff is not None and bands_1d:
+            a = jnp.broadcast_to(a.reshape(1, 1, -1), data.shape[:2] + (Nz,))
+            c = jnp.broadcast_to(c.reshape(1, 1, -1), data.shape[:2] + (Nz,))
+            bands_1d = False
         b = 1.0 - a - c
         if linear_coeff is not None:
             b = b - dt * linear_coeff[:, :, Hz: Hz + Nz]
@@ -85,7 +100,7 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
 
         # fold Dirichlet/gradient walls into the wall rows
         def wall(bc, side):
-            nonlocal b, rhs
+            nonlocal a, b, c, rhs, bands_1d
             if bc is None or bc.kind not in ("value", "gradient"):
                 return
             from ..boundary_conditions.bcs import _bvalue
@@ -100,7 +115,17 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
                 # ghost = 2·b_w − c ⇒ wall flux = 2κ(c − b_w)/Δz_f
                 dz_f = dzf[Hz + kface]
                 coef = dt * 2.0 * kap_w / (dz_c * dz_f)
-                b = b.at[:, :, kk].add(jnp.broadcast_to(coef, b.shape[:2]))
+                if bands_1d and jnp.ndim(coef) == 0:
+                    b = b.at[kk].add(coef)
+                else:
+                    if bands_1d:  # spatially-varying wall κ: promote
+                        sh = data.shape[:2] + (Nz,)
+                        a = jnp.broadcast_to(a.reshape(1, 1, -1), sh)
+                        b = jnp.broadcast_to(b.reshape(1, 1, -1), sh)
+                        c = jnp.broadcast_to(c.reshape(1, 1, -1), sh)
+                        bands_1d = False
+                    b = b.at[:, :, kk].add(
+                        jnp.broadcast_to(coef, b.shape[:2]))
                 rhs = rhs.at[:, :, kk].add(
                     jnp.broadcast_to(coef * bw, rhs.shape[:2]))
             else:  # prescribed wall gradient g: flux = κ·g (constant → RHS)
@@ -127,10 +152,9 @@ def implicit_vertical_diffusion_step(data, grid, loc, kappa, dt,
         k = j + 1  # face index
         a_k = -dt * kapc(k - 1) / (dzf[Hz + k] * dzc[Hz + k - 1]) if j > 0 else 0.0
         c_k = -dt * kapc(k) / (dzf[Hz + k] * dzc[Hz + k]) if j < n - 1 else 0.0
-        lower.append(jnp.broadcast_to(jnp.asarray(a_k, data.dtype), data.shape[:2]))
-        upper.append(jnp.broadcast_to(jnp.asarray(c_k, data.dtype), data.shape[:2]))
-    a = jnp.stack(lower, axis=-1)
-    c = jnp.stack(upper, axis=-1)
+        lower.append(jnp.asarray(a_k, data.dtype))
+        upper.append(jnp.asarray(c_k, data.dtype))
+    a, c, _ = _bands(lower, upper, data.shape[:2])
     b = 1.0 - a - c
     rhs = data[:, :, Hz + 1: Hz + Nz]
     sol = solve_batched_tridiagonal(a, b, c, rhs)

@@ -128,3 +128,24 @@ def test_implicit_solve_honors_value_and_gradient_walls():
     d = np.asarray(g.interior(state["solution"]["d"])).mean((0, 1))
     assert np.abs(c - (1.0 + 2.0 * zc)).max() < 1e-8
     assert np.abs(d - (2.0 + 4.0 * zc)).max() < 1e-8
+
+
+def test_scalar_band_fast_path_matches_3d_bands_bitwise():
+    """solve_batched_tridiagonal's 1D (z-only) band fast path must be
+    bit-identical to the same bands broadcast to (X, Y, Nz) — the
+    constant-coefficient implicit step relies on it (the per-element
+    arithmetic is the same either way; only the band storage differs)."""
+    from clima_oceananigans_jl_tpu.solvers.tridiagonal import (
+        solve_batched_tridiagonal)
+    rng = np.random.default_rng(9)
+    for dtype in (jnp.float64, jnp.float32):
+        nz = 12
+        a = jnp.asarray(-np.abs(rng.normal(size=nz)), dtype).at[0].set(0.0)
+        c = jnp.asarray(-np.abs(rng.normal(size=nz)), dtype).at[-1].set(0.0)
+        b = 1.0 - a - c
+        d = jnp.asarray(rng.normal(size=(10, 7, nz)), dtype)
+        fast = solve_batched_tridiagonal(a, b, c, d)
+        full = solve_batched_tridiagonal(
+            jnp.broadcast_to(a, d.shape), jnp.broadcast_to(b, d.shape),
+            jnp.broadcast_to(c, d.shape), d)
+        assert np.array_equal(np.asarray(fast), np.asarray(full)), dtype
