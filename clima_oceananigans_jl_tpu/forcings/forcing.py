@@ -141,6 +141,7 @@ def regularize_forcing(name, f):
     src/Forcings/model_forcing.jl)."""
     if isinstance(f, (tuple, list)):
         return MultipleForcings(regularize_forcing(name, p) for p in f)
-    if isinstance(f, AdvectiveForcing) and f.field_name is None:
+    if (isinstance(f, (AdvectiveForcing, Relaxation))
+            and f.field_name is None):
         return f.for_field(name)
     return f

@@ -22,13 +22,27 @@ from __future__ import annotations
 
 import jax
 
-_ROW_MAJOR = None
+
+def _state_device(state):
+    """The device the state currently lives on (first committed leaf),
+    falling back to the default device — compile_step must not silently
+    migrate a user-placed single-chip state to device 0."""
+    for leaf in jax.tree_util.tree_leaves(state):
+        devs = getattr(leaf, "devices", None)
+        if callable(devs):
+            try:
+                ds = devs()
+                if len(ds) == 1:
+                    return next(iter(ds))
+            except Exception:
+                pass
+    return jax.devices()[0]
 
 
-def _row_major_format():
+def _row_major_format(device):
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
-    return Format(Layout((0, 1, 2)), SingleDeviceSharding(jax.devices()[0]))
+    return Format(Layout((0, 1, 2)), SingleDeviceSharding(device))
 
 
 def _wants_pinning(model):
@@ -41,7 +55,7 @@ def format_state(model, state):
     layout (no-op unless the model wants pinning)."""
     if not _wants_pinning(model):
         return state
-    fmt = _row_major_format()
+    fmt = _row_major_format(_state_device(state))
 
     def put(x):
         if getattr(x, "ndim", 0) == 3:
@@ -59,8 +73,9 @@ def compile_step(model, state, dt=None, donate=False):
         fn = jax.jit(model.step, donate_argnums=0 if donate else ())
         return fn, state
     from jax.sharding import SingleDeviceSharding
-    fmt = _row_major_format()
-    plain = SingleDeviceSharding(jax.devices()[0])
+    dev = _state_device(state)
+    fmt = _row_major_format(dev)
+    plain = SingleDeviceSharding(dev)
     state = format_state(model, state)
     if dt is None:
         dt = model.grid.dtype(0.0)

@@ -557,6 +557,13 @@ class HydrostaticFreeSurfaceModel:
                         Gc = Gc + cl.tke_tendency(grid, dict(sol, w=w), d, trd)
             G[name] = Gc
 
+        if w is None and any(
+                bc is not None and bc.discrete
+                for bcs in self.bcs.values() for _a, _s, bc in bcs.sides()):
+            # wphy_in_kernel carries no w in the state, but discrete-form
+            # (field-dependent) flux BCs may read fields["w"] — rebuild it
+            # on demand (only traced for configs that actually need it)
+            w = self.compute_w(sol)
         fields = dict(sol, w=w, eta=state["eta"])
         locs = self._locs()
         for name in self.prognostic_names():

@@ -52,9 +52,17 @@ def fill_halos_fast(data, grid, loc, bcs=None, t=0.0, axes=(0, 1, 2),
     strip kernels when the backend and alignment allow; bounded/other
     axes fall through to the XLA slab path. Ordering matches
     `fill_halos` (periodic axes first, in index order), so corner halos
-    are bit-identical."""
+    are bit-identical.
+
+    Routing POLICY matches `fill_halos` (hardware A/B, r5): strips are a
+    measured net LOSS for the natural layout (256³ nonhydrostatic 717 vs
+    670 M pts/s — launch overhead beats the DUS savings), so they engage
+    only for permuted state, under CLIMA_INPLACE_FILL=1, or when tests
+    force FORCE_INPLACE."""
+    import os
     from ..boundary_conditions.bcs import fill_halos
-    if not _use_inplace():
+    if not _use_inplace() or (perm is None and FORCE_INPLACE is None
+                              and not os.environ.get("CLIMA_INPLACE_FILL")):
         return fill_halos(data, grid, loc, bcs, t, axes=axes, perm=perm)
     fast = tuple(a for a in axes if supports_inplace_fill(grid, a, perm))
     rest = tuple(a for a in axes if a not in fast)
@@ -143,6 +151,19 @@ def fill_periodic_axis_inplace(data, grid, axis, perm=None, interpret=None):
     W = H if exact else 8
 
     td, tsz = _tile_dim(shape, p, W, data.dtype.itemsize)
+    if td is None:
+        # no aligned tiling under budget → ONE whole (W × other dims)
+        # window; respect the compiler window ceiling or fall back to
+        # the XLA slab path instead of failing the Mosaic compile
+        block = W * data.dtype.itemsize
+        for d in range(ndim):
+            if d != p:
+                block *= shape[d]
+        if block > 48 * 1024 * 1024:
+            from ..boundary_conditions.bcs import fill_halos_axis
+            from ..utils.location import CENTER
+            return fill_halos_axis(data, grid, CENTER, axis, None, None,
+                                   perm=perm)
     n_tiles = 1 if td is None else shape[td] // tsz
 
     def win(offs_fn):

@@ -275,6 +275,14 @@ def supports_fused_hydro_advance(model):
         return False
     if isinstance(model.free_surface, ExplicitFreeSurface):
         return False
+    if len(model.tracer_names) > 5:
+        # advance mode roughly doubles the resident VMEM windows (the
+        # interior G_prev inputs + the second, G, output per field) while
+        # the tile budget is sized for the plain tendency kernel —
+        # hardware-validated only up to the flagship's 3 tracers, so
+        # tracer-heavy configs keep the two-stage path instead of
+        # risking a Mosaic scoped-vmem OOM (opaque HTTP 500 / hang)
+        return False
     for name in model.prognostic_names():
         for _axis, _side, bc in model.bcs[name].sides():
             if bc is not None and bc.kind == "flux" and bc.value is not None:

@@ -99,7 +99,12 @@ def _step_kernel_closure(model):
 def _diffusion_block(c, cg, loc, kh, kz, z_bounded, z_slim, vertical):
     """``div_kappa_grad``'s exact expression tree on a kernel block
     (closures/scalar_diffusivity.py:110-145, reference
-    abstract_scalar_diffusivity_closure.jl ∇·(κ∇c)). Under z_slim +
+    abstract_scalar_diffusivity_closure.jl ∇·(κ∇c)). Kept as a mirror
+    rather than a direct call because the z_slim wall-flux needs the
+    concat fix-up below mid-expression; any edit to div_kappa_grad MUST
+    be replayed here — the fused-vs-plain step equivalence tests
+    (tests/test_fused_tendencies.py closure cases) pin the two paths
+    equal and will catch a desync. Under z_slim +
     bounded z, c carries no z ghosts: for z-at-C fields the wall-face
     vertical flux (slim face 0, and face nz ≡ wrap-to-0) is zeroed by
     concatenation — bit-equal to the XLA path's zero-gradient mirror

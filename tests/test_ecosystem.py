@@ -336,3 +336,18 @@ def test_grid_metric_operand():
     direct = float(jnp.sum(grid.interior(cv.data)))
     via_integral = float(Integral(c).compute(grid))
     assert np.isclose(direct, via_integral, rtol=1e-12)
+
+
+def test_relaxation_binds_dict_key_like_reference():
+    """forcing={'c': Relaxation(...)} without an explicit field_name must
+    bind to its dict key (reference model_forcing.jl regularization) —
+    previously only AdvectiveForcing was bound and Relaxation crashed
+    with fields[None]."""
+    g = small_grid()
+    relax = Relaxation(rate=1.0, mask=GaussianMask(center=1.0, width=0.1),
+                       target=LinearTarget(intercept=0.0, gradient=1.0))
+    model = NonhydrostaticModel(g, tracers=("c",), forcing={"c": relax})
+    assert model.forcing["c"].field_name == "c"
+    state = model.initial_state(c=0.0)
+    s = jax.jit(model.step)(state, jnp.float64(1e-2))
+    assert np.asarray(model.grid.interior(s["solution"]["c"])).max() > 0

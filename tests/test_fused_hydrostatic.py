@@ -354,3 +354,27 @@ def test_inkernel_scalar_diffusivity(td, monkeypatch):
         b = np.asarray(m0.grid.interior(s0["solution"][n]))
         scale = max(np.abs(b).max(), 1e-30)
         assert np.abs(a - b).max() <= 1e-13 * scale, n
+
+
+def test_wphy_in_kernel_with_discrete_flux_bc_rebuilds_w():
+    """A discrete-form (field-dependent) flux BC reading fields['w'] must
+    work under wphy_in_kernel (the state carries no w — tendencies()
+    rebuilds it on demand for the BC evaluation)."""
+    from clima_oceananigans_jl_tpu.boundary_conditions.bcs import (
+        FieldBCs, FluxBC)
+
+    g = _latlon()
+    m = HydrostaticFreeSurfaceModel(
+        g, momentum_advection=VectorInvariant(scheme="weno"),
+        tracer_advection=WENO5(), tracers=("T",),
+        coriolis=HydrostaticSphericalCoriolis(), buoyancy=BuoyancyTracer(),
+        fused_advection=True,
+        boundary_conditions={"u": FieldBCs(bottom=FluxBC(
+            lambda grid, t, fields: -1e-3 * fields["u"]
+            * jnp.abs(fields["w"]), discrete=True))})
+    assert m.wphy_in_kernel, "gate should stay open for discrete BCs"
+    s = m.initial_state(
+        u=lambda lam, phi, z: 0.05 * jnp.cos(jnp.deg2rad(phi)),
+        b=lambda lam, phi, z: 1e-5 * z)
+    s = jax.jit(m.step)(s, jnp.float64(200.0))
+    assert np.isfinite(np.asarray(s["solution"]["u"])).all()
